@@ -1,0 +1,146 @@
+"""STFT / mel-spectrogram feature extraction as pure JAX functions.
+
+Feature definition matches the reference TacotronSTFT
+(``audio/stft.py:52-81,159-178``):
+
+- reflect-pad the waveform by ``n_fft//2`` on both sides,
+- frame with hop ``hop_length`` and window length ``n_fft`` (the periodic
+  Hann window of ``win_length`` is zero-padded centered to ``n_fft``),
+- magnitude of the DFT (the reference computes it as a conv1d against an
+  explicit Fourier basis; mathematically identical to windowed rFFT),
+- mel = Slaney filterbank @ magnitude, log-compressed with
+  ``log(clamp(x, 1e-5))`` (``audio/audio_processing.py:86-93``),
+- energy = L2 norm of the magnitude spectrum per frame
+  (``audio/stft.py:177``).
+
+The reference implementation hardcodes ``.cuda()`` (``audio/stft.py:68-70``),
+forcing a GPU for *preprocessing*; here the same math runs on any backend
+and vmaps/jits cleanly.  Frame count is ``T//hop + 1`` for input length T.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import hann_window, mel_filterbank, pad_center
+
+
+@dataclass(frozen=True)
+class MelSpectrogramConfig:
+    sampling_rate: int = 22050
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: float | None = 8000.0
+    compression_clip: float = 1e-5
+
+    @functools.cached_property
+    def window(self) -> np.ndarray:
+        return pad_center(hann_window(self.win_length), self.n_fft)
+
+    @functools.cached_property
+    def mel_basis(self) -> np.ndarray:
+        return mel_filterbank(self.sampling_rate, self.n_fft, self.n_mels,
+                              self.mel_fmin, self.mel_fmax)
+
+
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """(B, T) → (B, F, n_fft) frames of the reflect-padded signal."""
+    pad = n_fft // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n = y.shape[-1]
+    num_frames = 1 + (n - n_fft) // hop
+    idx = (np.arange(num_frames)[:, None] * hop
+           + np.arange(n_fft)[None, :])          # static gather indices
+    return y[:, idx]
+
+
+def stft_magnitude(y: jnp.ndarray, cfg: MelSpectrogramConfig) -> jnp.ndarray:
+    """(B, T) waveform in [-1, 1] → (B, n_fft//2+1, F) magnitude."""
+    frames = frame_signal(y, cfg.n_fft, cfg.hop_length)
+    frames = frames * jnp.asarray(cfg.window)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    mag = jnp.abs(spec)                          # (B, F, n_bins)
+    return jnp.swapaxes(mag, -1, -2)
+
+
+def mel_spectrogram(y: jnp.ndarray, cfg: MelSpectrogramConfig
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, T) waveform → (mel (B, n_mels, F), energy (B, F)).
+
+    Same output contract as reference ``TacotronSTFT.mel_spectrogram``
+    (``audio/stft.py:159-178``).
+    """
+    mag = stft_magnitude(y, cfg)
+    mel = jnp.einsum("mf,bft->bmt", jnp.asarray(cfg.mel_basis), mag)
+    mel = jnp.log(jnp.clip(mel, min=cfg.compression_clip))
+    energy = jnp.linalg.norm(mag, axis=1)
+    return mel, energy
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mel_spectrogram_jit(y: jnp.ndarray, cfg: MelSpectrogramConfig):
+    return mel_spectrogram(y, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Inverse STFT + Griffin-Lim (debug/parity path; reference
+# audio/stft.py:83-124, audio/audio_processing.py:66-81)
+# ---------------------------------------------------------------------------
+
+def _window_sumsquare(cfg: MelSpectrogramConfig, n_frames: int) -> np.ndarray:
+    """Sum-squared window envelope (reference audio/audio_processing.py:7-63).
+    Vectorized overlap-add of win² at every hop."""
+    n = cfg.n_fft + cfg.hop_length * (n_frames - 1)
+    win_sq = pad_center(hann_window(cfg.win_length) ** 2, cfg.n_fft)
+    out = np.zeros(n, dtype=np.float64)
+    for i in range(n_frames):
+        s = i * cfg.hop_length
+        out[s:min(n, s + cfg.n_fft)] += win_sq[:max(0, min(cfg.n_fft,
+                                                           n - s))]
+    return out.astype(np.float32)
+
+
+def istft(magnitude: jnp.ndarray, phase: jnp.ndarray,
+          cfg: MelSpectrogramConfig) -> jnp.ndarray:
+    """(B, n_bins, F) magnitude+phase → (B, T) via windowed overlap-add."""
+    spec = magnitude * jnp.exp(1j * phase)
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=cfg.n_fft, axis=-1)
+    frames = frames * jnp.asarray(cfg.window)     # synthesis window
+    b, f, _ = frames.shape
+    n = cfg.n_fft + cfg.hop_length * (f - 1)
+    # Overlap-add via scatter-add with static indices.
+    idx = (np.arange(f)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :]).reshape(-1)
+    sig = jnp.zeros((b, n)).at[:, idx].add(frames.reshape(b, -1))
+    wss = _window_sumsquare(cfg, f)
+    sig = jnp.where(wss[None, :] > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
+    pad = cfg.n_fft // 2
+    return sig[:, pad:n - pad]
+
+
+def griffin_lim(magnitude: jnp.ndarray, cfg: MelSpectrogramConfig,
+                n_iters: int = 30, key: jax.Array | None = None
+                ) -> jnp.ndarray:
+    """Phase reconstruction by alternating projections
+    (reference audio/audio_processing.py:66-81)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    phase = jax.random.uniform(key, magnitude.shape, minval=-np.pi,
+                               maxval=np.pi)
+
+    def body(_, phase):
+        sig = istft(magnitude, phase, cfg)
+        frames = frame_signal(sig, cfg.n_fft, cfg.hop_length)
+        spec = jnp.fft.rfft(frames * jnp.asarray(cfg.window), axis=-1)
+        return jnp.angle(jnp.swapaxes(spec, -1, -2))
+
+    phase = jax.lax.fori_loop(0, n_iters, body, phase)
+    return istft(magnitude, phase, cfg)
