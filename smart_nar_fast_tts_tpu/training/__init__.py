@@ -1,0 +1,10 @@
+"""Training runtime: optimizer schedule, train state, jitted sharded steps."""
+
+from .schedule import noam_schedule, make_optimizer
+from .state import TrainState, create_train_state
+from .step import Batch, make_train_step, make_eval_step
+
+__all__ = [
+    "noam_schedule", "make_optimizer", "TrainState", "create_train_state",
+    "Batch", "make_train_step", "make_eval_step",
+]

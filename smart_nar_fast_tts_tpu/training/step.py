@@ -1,0 +1,135 @@
+"""Jitted train/eval steps with data-parallel sharding and gradient
+accumulation.
+
+Replaces the reference's eager loop body (``train.py:75-95``: DataParallel
+scatter → forward → backward → clip → Noam-Adam step) with a single compiled
+XLA program.  Data parallelism is expressed through ``jax.sharding``: the
+batch is sharded over the mesh's ``data`` axis and parameters are
+replicated, so XLA inserts the gradient ``psum`` over ICI automatically
+(SURVEY.md §5.8 — the TPU-native equivalent of ``nn.DataParallel``,
+reference ``train.py:42``).
+
+Gradient accumulation (reference ``train.py:87-95``, ``grad_acc_step``) is a
+``lax.scan`` over microbatches with on-device grad averaging — no host
+round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .state import TrainState
+
+
+class Batch(NamedTuple):
+    """One padded, static-shape training batch (the reference's 11-tuple
+    ``dataset.py:88-118`` minus host-only id/raw-text fields)."""
+
+    texts: jnp.ndarray       # (B, L) int32
+    src_lens: jnp.ndarray    # (B,)
+    mels: jnp.ndarray        # (B, T, n_mels)
+    mel_lens: jnp.ndarray    # (B,)
+    pitch: jnp.ndarray       # (B, T) or (B, L) by feature level
+    energy: jnp.ndarray      # (B, T) or (B, L)
+    speakers: Optional[jnp.ndarray] = None   # (B,)
+
+
+def _forward_loss(model, loss_fn, params, batch_stats, batch: Batch,
+                  rng, train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(
+        mels=batch.mels, mel_lens=batch.mel_lens,
+        p_targets=batch.pitch, e_targets=batch.energy,
+        speakers=batch.speakers, deterministic=not train)
+    if train:
+        out, mutated = model.apply(
+            variables, batch.texts, batch.src_lens,
+            rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs)
+        new_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(variables, batch.texts, batch.src_lens, **kwargs)
+        new_stats = batch_stats
+    losses = loss_fn(out, batch.mels, batch.pitch, batch.energy)
+    return losses.total, (losses, new_stats, out)
+
+
+def make_train_step(model, loss_fn, grad_acc_steps: int = 1,
+                    mesh: Optional[Mesh] = None,
+                    data_axis: str = "data") -> Callable:
+    """Build the jitted ``(state, batch, rng) -> (state, LossBreakdown)``.
+
+    With ``grad_acc_steps > 1`` the batch's leading axis must be divisible
+    by it; microbatches run sequentially under ``lax.scan`` and grads are
+    averaged (reference semantics: loss divided by acc steps,
+    ``train.py:84-86``).
+    """
+
+    def grads_of(params, batch_stats, batch, rng):
+        grad_fn = jax.grad(
+            partial(_forward_loss, model, loss_fn), has_aux=True)
+        grads, (losses, new_stats, _) = grad_fn(
+            params, batch_stats, batch, rng, True)
+        return grads, losses, new_stats
+
+    def step(state: TrainState, batch: Batch, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)
+        if grad_acc_steps == 1:
+            grads, losses, new_stats = grads_of(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            def split(x):
+                if x is None:
+                    return None
+                return x.reshape((grad_acc_steps, -1) + x.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+
+            def body(carry, xs):
+                acc, stats = carry
+                mb, i = xs
+                g, losses, stats = grads_of(
+                    state.params, stats, mb, jax.random.fold_in(rng, i))
+                acc = jax.tree.map(jnp.add, acc, g)
+                return (acc, stats), losses
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, new_stats), losses = jax.lax.scan(
+                body, (zeros, state.batch_stats),
+                (micro, jnp.arange(grad_acc_steps)))
+            grads = jax.tree.map(lambda g: g / grad_acc_steps, gsum)
+            losses = jax.tree.map(jnp.mean, losses)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=0)
+
+
+def make_eval_step(model, loss_fn, mesh: Optional[Mesh] = None,
+                   data_axis: str = "data") -> Callable:
+    """Jitted ``(state, batch) -> LossBreakdown`` over the val split
+    (the reference's missing ``evaluate.py`` contract, SURVEY.md §3.5)."""
+
+    def step(state: TrainState, batch: Batch):
+        _, (losses, _, _) = _forward_loss(
+            model, loss_fn, state.params, state.batch_stats, batch,
+            None, False)
+        return losses
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(data_axis))
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)

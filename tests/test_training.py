@@ -1,0 +1,129 @@
+"""Training runtime tests: Noam LR parity, sharded train step on the
+8-virtual-device CPU mesh, grad accumulation equivalence (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smart_nar_fast_tts_tpu.config import (
+    FeatureStats, ModelConfig, OptimizerConfig, PreprocessConfig,
+    TransformerConfig)
+from smart_nar_fast_tts_tpu.models import FastSpeech2Align, FastSpeech2Loss
+from smart_nar_fast_tts_tpu.parallel import batch_sharding, make_mesh
+from smart_nar_fast_tts_tpu.training import (
+    Batch, create_train_state, make_optimizer, make_train_step,
+    make_eval_step, noam_schedule)
+
+
+def _ref_lr_scale(step, warmup, anneal_steps=(), anneal_rate=1.0):
+    """Reference model/optimizer.py:33-44 verbatim in numpy."""
+    lr = np.min([np.power(step, -0.5),
+                 np.power(warmup, -1.5) * step])
+    for s in anneal_steps:
+        if step > s:
+            lr = lr * anneal_rate
+    return lr
+
+
+def test_noam_schedule_matches_reference():
+    d_model, warmup = 256, 4000
+    anneal = (300000, 400000)
+    for step in [1, 10, 3999, 4000, 4001, 160000, 350000, 450000]:
+        want = 256 ** -0.5 * _ref_lr_scale(step, warmup, anneal, 0.3)
+        got = noam_schedule(jnp.asarray(step), d_model, warmup, anneal, 0.3)
+        np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+
+def _tiny_setup(grad_acc=1, mesh=None):
+    cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_head=2,
+            decoder_head=2, encoder_hidden=16, decoder_hidden=16,
+            conv_filter_size=32),
+        max_seq_len=64)
+    pre = PreprocessConfig(stats=FeatureStats(
+        pitch_min=71.0, pitch_max=800.0, pitch_mean=200.0, pitch_std=50.0,
+        energy_min=0.0, energy_max=8.0, energy_mean=4.0, energy_std=2.0))
+    model = FastSpeech2Align(cfg, pre)
+    loss = FastSpeech2Loss(pre)
+
+    B, L, T = 8, 12, 32
+    rng = np.random.default_rng(0)
+    texts = rng.integers(2, 300, size=(B, L)).astype(np.int32)
+    src_lens = rng.integers(L - 4, L + 1, size=(B,)).astype(np.int32)
+    for b, n in enumerate(src_lens):
+        texts[b, n:] = 0
+    mels = rng.normal(size=(B, T, 80)).astype(np.float32)
+    mel_lens = rng.integers(T - 8, T + 1, size=(B,)).astype(np.int32)
+    pitch = rng.uniform(80, 600, size=(B, T)).astype(np.float32)
+    energy = rng.uniform(0, 8, size=(B, T)).astype(np.float32)
+    for b, n in enumerate(mel_lens):
+        mels[b, n:] = 0
+        pitch[b, n:] = 0
+        energy[b, n:] = 0
+    batch = Batch(texts=jnp.asarray(texts), src_lens=jnp.asarray(src_lens),
+                  mels=jnp.asarray(mels), mel_lens=jnp.asarray(mel_lens),
+                  pitch=jnp.asarray(pitch), energy=jnp.asarray(energy))
+
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.texts, batch.src_lens,
+        mels=batch.mels, mel_lens=batch.mel_lens,
+        p_targets=batch.pitch, e_targets=batch.energy)
+    tx = make_optimizer(OptimizerConfig(warm_up_step=10), d_model=16)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(model, loss, grad_acc_steps=grad_acc,
+                              mesh=mesh)
+    return state, step_fn, batch, model, loss
+
+
+def test_train_step_decreases_loss():
+    state, step_fn, batch, *_ = _tiny_setup()
+    rng = jax.random.PRNGKey(42)
+    state, first = step_fn(state, batch, rng)
+    assert np.isfinite(float(first.total))
+    for _ in range(15):
+        state, losses = step_fn(state, batch, rng)
+    assert float(losses.total) < float(first.total)
+    assert int(state.step) == 16
+
+
+def test_train_step_sharded_matches_single_device():
+    """DP over the 8-device CPU mesh computes the same update as one
+    device (psum grad reduction == big-batch gradient)."""
+    mesh = make_mesh((-1, 1), ("data", "model"))
+    assert mesh.devices.size == 8
+
+    state1, step1, batch, *_ = _tiny_setup()
+    state8, step8, _, *_ = _tiny_setup(mesh=mesh)
+    rng = jax.random.PRNGKey(7)
+
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    state1, l1 = step1(state1, batch, rng)
+    state8, l8 = step8(state8, sharded_batch, rng)
+    np.testing.assert_allclose(float(l1.total), float(l8.total), rtol=1e-5)
+    # Adam with eps=1e-9 normalizes near-zero grads to ±lr, so cross-device
+    # reduction-order noise can flip isolated update directions; bound the
+    # worst param diff by one LR step and require the bulk to match tightly.
+    lr = 16 ** -0.5 * 10 ** -1.5
+    d = np.array(jax.tree.leaves(jax.tree.map(
+        lambda a, b: np.max(np.abs(np.asarray(a) - np.asarray(b))),
+        state1.params, state8.params)))
+    assert d.max() < 2 * lr
+    assert np.median(d) < 1e-5
+
+
+def test_grad_accumulation_reaches_finite_loss():
+    state, step_fn, batch, *_ = _tiny_setup(grad_acc=4)
+    rng = jax.random.PRNGKey(3)
+    state, losses = step_fn(state, batch, rng)
+    assert np.isfinite(float(losses.total))
+    assert int(state.step) == 1
+
+
+def test_eval_step_runs():
+    state, _, batch, model, loss = _tiny_setup()
+    eval_fn = make_eval_step(model, loss)
+    losses = eval_fn(state, batch)
+    assert np.isfinite(float(losses.total))
