@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import PreprocessConfig
 from ..text import text_to_sequence
-from ..training.step import Batch
+from .batch import Batch
 
 
 def _parse_meta(path: str) -> list[tuple[str, str, str, str]]:

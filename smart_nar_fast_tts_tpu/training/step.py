@@ -17,26 +17,14 @@ round-trips.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..data.batch import Batch
 from .state import TrainState
-
-
-class Batch(NamedTuple):
-    """One padded, static-shape training batch (the reference's 11-tuple
-    ``dataset.py:88-118`` minus host-only id/raw-text fields)."""
-
-    texts: jnp.ndarray       # (B, L) int32
-    src_lens: jnp.ndarray    # (B,)
-    mels: jnp.ndarray        # (B, T, n_mels)
-    mel_lens: jnp.ndarray    # (B,)
-    pitch: jnp.ndarray       # (B, T) or (B, L) by feature level
-    energy: jnp.ndarray      # (B, T) or (B, L)
-    speakers: Optional[jnp.ndarray] = None   # (B,)
 
 
 def _forward_loss(model, loss_fn, params, batch_stats, batch: Batch,

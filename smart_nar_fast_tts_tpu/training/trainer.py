@@ -1,0 +1,180 @@
+"""Training orchestration: the reference's ``train.py:21-196`` loop as a
+restartable, multi-host-safe driver around the jitted step.
+
+Structure per step (reference cadences, ``train.yaml:17-20``):
+log every ``log_step``, synth-sample figure every ``synth_step``, val every
+``val_step``, async checkpoint every ``save_step`` — plus NaN guards and
+SIGTERM-triggered final save (preemption safety, SURVEY.md §5.3, which the
+reference lacks entirely).
+"""
+
+from __future__ import annotations
+
+import signal
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import AcousticDataset, BucketBatcher
+from ..models import FastSpeech2Align, FastSpeech2Loss
+from ..parallel import batch_sharding, make_mesh
+from .checkpoint import CheckpointManager
+from .evaluate import evaluate
+from .logging import MetricWriter, format_losses, plot_mel
+from .schedule import make_optimizer
+from .state import create_train_state
+from .step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        if cfg.preprocess.stats is None:
+            raise ValueError(
+                "PreprocessConfig.stats is required for training "
+                "(load stats.json via Config loading helpers)")
+        if mesh is None:
+            # the data axis must divide the per-host batch; drop to the
+            # largest divisor when batch < local device count (tiny debug
+            # configs), else use the configured mesh shape
+            import math
+            local_batch = (cfg.train.optimizer.batch_size
+                           // jax.process_count())
+            n_local = jax.local_device_count()
+            data_size = math.gcd(local_batch, n_local)
+            devices = jax.devices()[:data_size * jax.process_count()] \
+                if data_size < n_local else None
+            shape = ((-1,) + tuple(cfg.train.mesh_shape[1:])
+                     if devices is None else (data_size, 1))
+            mesh = make_mesh(shape, cfg.train.mesh_axis_names,
+                             devices=devices)
+        self.mesh = mesh
+        self.model = FastSpeech2Align(cfg.model, cfg.preprocess)
+        self.loss = FastSpeech2Loss(cfg.preprocess)
+        self.tx = make_optimizer(cfg.train.optimizer,
+                                 cfg.model.transformer.encoder_hidden)
+        self.train_step = make_train_step(
+            self.model, self.loss,
+            grad_acc_steps=cfg.train.optimizer.grad_acc_step,
+            mesh=self.mesh)
+        self.eval_step = make_eval_step(self.model, self.loss,
+                                        mesh=self.mesh)
+        self._stop = False
+
+    # -- data -------------------------------------------------------------
+    def make_batcher(self, split: str) -> BucketBatcher:
+        c = self.cfg
+        ds = AcousticDataset(split, c.preprocess)
+        return BucketBatcher(
+            ds, batch_size=c.train.optimizer.batch_size,
+            text_buckets=c.train.text_buckets,
+            mel_buckets=c.train.mel_buckets,
+            seed=c.train.seed,
+            host_id=jax.process_index(),
+            num_hosts=jax.process_count())
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, rng_seed: Optional[int] = None):
+        c = self.cfg
+        seed = c.train.seed if rng_seed is None else rng_seed
+        import jax.numpy as jnp
+        L = c.train.text_buckets[0]
+        T = c.train.mel_buckets[0]
+        B = 2                       # init shapes don't affect param shapes
+        variables = self.model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((B, L), jnp.int32), jnp.full((B,), L, jnp.int32),
+            mels=jnp.zeros((B, T, c.model.n_mel_channels)),
+            mel_lens=jnp.full((B,), T, jnp.int32),
+            p_targets=jnp.zeros((B, T)), e_targets=jnp.zeros((B, T)))
+        return create_train_state(variables, self.tx)
+
+    # -- loop -------------------------------------------------------------
+    def fit(self, total_steps: Optional[int] = None,
+            restore: bool = True) -> None:
+        c = self.cfg
+        sc = c.train.step
+        total = total_steps if total_steps is not None else sc.total_step
+
+        state = self.init_state()
+        ckpt = CheckpointManager(c.train.ckpt_path,
+                                 save_interval_steps=sc.save_step)
+        epoch = 0
+        if restore:
+            state, data_state = ckpt.restore(state)
+            if data_state:
+                epoch = int(data_state.get("epoch", 0))
+
+        train_writer = MetricWriter(f"{c.train.log_path}/train")
+        val_writer = MetricWriter(f"{c.train.log_path}/val")
+        train_batcher = self.make_batcher("train.txt")
+        val_batcher = self.make_batcher("val.txt")
+        rng = jax.random.PRNGKey(c.train.seed)
+        sharding = batch_sharding(self.mesh)
+
+        def _on_sigterm(signum, frame):
+            self._stop = True
+        prev = signal.signal(signal.SIGTERM, _on_sigterm)
+
+        step = int(np.asarray(state.step))
+        try:
+            while step < total and not self._stop:
+                for batch, ids, raws in train_batcher.batches(epoch):
+                    batch = jax.device_put(batch, sharding)
+                    state, losses = self.train_step(state, batch, rng)
+                    step += 1
+
+                    if step % sc.log_step == 0:
+                        if not np.isfinite(float(losses.total)):
+                            raise FloatingPointError(
+                                f"non-finite loss at step {step}: "
+                                f"{losses}")
+                        train_writer.scalars(step, losses)
+                        msg = format_losses(step, total, losses)
+                        train_writer.message(msg)
+                    if step % sc.synth_step == 0:
+                        self._synth_sample(state, batch, ids, step,
+                                           train_writer)
+                    if step % sc.val_step == 0:
+                        msg = evaluate(self.eval_step, state,
+                                       val_batcher.batches(0), step, total,
+                                       val_writer)
+                        val_writer.message(msg)
+                    ckpt.save(state, {"epoch": epoch})
+                    if step >= total or self._stop:
+                        break
+                epoch += 1
+            if ckpt.latest_step() != step:
+                ckpt.save(state, {"epoch": epoch}, force=True)
+            ckpt.wait()
+        finally:
+            signal.signal(signal.SIGTERM, prev)
+            ckpt.close()
+            train_writer.close()
+            val_writer.close()
+
+    # -- sample synthesis during training ---------------------------------
+    def _synth_sample(self, state, batch, ids, step, writer) -> None:
+        """Reconstruction figure for the first batch item (reference
+        ``utils/tools.py:96-150`` ``synth_one_sample``, sans vocoder)."""
+        if not writer.enabled:
+            return
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.texts[:1], batch.src_lens[:1], mels=batch.mels[:1],
+            mel_lens=batch.mel_lens[:1], p_targets=batch.pitch[:1],
+            e_targets=batch.energy[:1], deterministic=True)
+        n = int(batch.mel_lens[0])
+        mel_pred = np.asarray(out.postnet_mel[0, :n]).T
+        mel_true = np.asarray(batch.mels[0, :n]).T
+        pitch = np.asarray(batch.pitch[0, :n])
+        energy = np.asarray(batch.energy[0, :n])
+        fig = plot_mel(
+            [(mel_pred, pitch, energy), (mel_true, pitch, energy)],
+            self.cfg.preprocess.stats,
+            titles=[f"Synthesized ({ids[0]})", "Ground truth"])
+        writer.figure(step, "Training/step_{}_{}".format(step, ids[0]), fig)
+        import matplotlib.pyplot as plt
+        plt.close(fig)

@@ -1,0 +1,119 @@
+"""End-to-end CLI tests on a synthetic corpus: preprocess → train (few
+steps, tiny model) → checkpoint restore → evaluate → synthesize
+(SURVEY.md §4: the integration tier of the test pyramid)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from test_data import _make_corpus
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    in_dir, out_dir = _make_corpus(root, n_utts=6)
+    cfgs = {}
+    cfgs["preprocess"] = {
+        "dataset": "Synthetic",
+        "path": {
+            "data_path": str(in_dir),
+            "preprocessed_path": str(out_dir),
+            "lexicon_path": str(root / "missing-lexicon.txt"),
+        },
+        "preprocessing": {
+            "val_size": 2,
+            "text": {"text_cleaners": ["english_cleaners"],
+                     "language": "en"},
+            "audio": {"sampling_rate": SR, "max_wav_value": 32768.0},
+            "stft": {"filter_length": 1024, "hop_length": 256,
+                     "win_length": 1024},
+            "mel": {"n_mel_channels": 80, "mel_fmin": 0,
+                    "mel_fmax": 8000},
+            "pitch": {"feature": "frame_level", "normalization": True},
+            "energy": {"feature": "frame_level", "normalization": True},
+        },
+    }
+    cfgs["model"] = {
+        "transformer": {
+            "encoder_layer": 1, "encoder_head": 2, "encoder_hidden": 16,
+            "decoder_layer": 1, "decoder_head": 2, "decoder_hidden": 16,
+            "conv_filter_size": 32, "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+        },
+        "variance_predictor": {"filter_size": 16, "kernel_size": 3,
+                               "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "log",
+                               "energy_quantization": "linear",
+                               "n_bins": 16},
+        "multi_speaker": False,
+        "max_seq_len": 256,
+        "vocoder": {"model": "HiFi-GAN", "speaker": "LJSpeech"},
+    }
+    cfgs["train"] = {
+        "path": {
+            "ckpt_path": str(root / "ckpt"),
+            "log_path": str(root / "log"),
+            "result_path": str(root / "result"),
+        },
+        "optimizer": {
+            "batch_size": 2, "betas": [0.9, 0.98], "eps": 1e-9,
+            "weight_decay": 0.0, "grad_clip_thresh": 1.0,
+            "grad_acc_step": 1, "warm_up_step": 10,
+            "anneal_steps": [], "anneal_rate": 1.0,
+        },
+        "step": {"total_step": 4, "log_step": 2, "synth_step": 4,
+                 "val_step": 4, "save_step": 4},
+    }
+    paths = {}
+    for name, d in cfgs.items():
+        p = root / f"{name}.yaml"
+        p.write_text(yaml.safe_dump(d))
+        paths[name] = str(p)
+    return root, paths, out_dir
+
+
+def _config_args(paths):
+    return ["-p", paths["preprocess"], "-m", paths["model"],
+            "-t", paths["train"]]
+
+
+def test_preprocess_cli(workspace):
+    root, paths, out_dir = workspace
+    from smart_nar_fast_tts_tpu.cli.preprocess import main
+    main([paths["preprocess"]])
+    assert (out_dir / "stats.json").exists()
+    assert (out_dir / "train.txt").exists()
+
+
+def test_train_restore_evaluate_synthesize(workspace, capsys):
+    root, paths, out_dir = workspace
+    from smart_nar_fast_tts_tpu.cli.preprocess import main as preprocess
+    preprocess([paths["preprocess"]])
+
+    from smart_nar_fast_tts_tpu.cli.train import main as train
+    train(_config_args(paths))                       # 4 steps + save
+
+    ckpts = os.listdir(root / "ckpt")
+    assert any("4" in c for c in ckpts), ckpts
+    assert (root / "log" / "train" / "log.txt").exists()
+
+    # resume: bump total steps, restores from step 4
+    train(_config_args(paths) + ["--total_step", "6"])
+
+    from smart_nar_fast_tts_tpu.cli.evaluate import main as evaluate
+    evaluate(_config_args(paths))
+    msg = capsys.readouterr().out
+    assert "Validation" in msg and "Total Loss" in msg
+
+    from smart_nar_fast_tts_tpu.cli.synthesize import main as synthesize
+    synthesize(_config_args(paths) + ["--text", "hello world"])
+    out = capsys.readouterr().out
+    wavs = [f for f in os.listdir(root / "result") if f.endswith(".wav")]
+    pngs = [f for f in os.listdir(root / "result") if f.endswith(".png")]
+    assert wavs and pngs, out

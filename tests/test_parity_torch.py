@@ -209,6 +209,59 @@ def test_inference_forward_parity(converted):
                                    atol=1e-3)
 
 
+def test_loss_parity(converted):
+    """All 7 loss terms match the reference FastSpeech2Loss on the same
+    (converted) model outputs."""
+    ref, torch, model, variables, cfg = converted
+    texts, src_lens, mels, mel_lens, pitch, energy = _inputs(torch, seed=5)
+
+    with torch.no_grad():
+        r_out = ref(
+            torch.zeros(2, dtype=torch.long),
+            torch.from_numpy(texts), torch.from_numpy(src_lens),
+            int(src_lens.max()),
+            mels=torch.from_numpy(mels),
+            mel_lens=torch.from_numpy(mel_lens),
+            max_mel_len=int(mel_lens.max()),
+            p_targets=torch.from_numpy(pitch),
+            e_targets=torch.from_numpy(energy))
+        from model.loss import FastSpeech2Loss as RefLoss
+        ref_loss = RefLoss(
+            {"preprocessing": {"pitch": {"feature": "frame_level"},
+                               "energy": {"feature": "frame_level"}}}, {})
+        inputs = (None, None, None, None,
+                  torch.from_numpy(src_lens), int(src_lens.max()),
+                  torch.from_numpy(mels), torch.from_numpy(mel_lens),
+                  int(mel_lens.max()), torch.from_numpy(pitch),
+                  torch.from_numpy(energy))
+        r_total, r_mel, r_post, r_pitch, r_energy, r_dur, r_attn = \
+            ref_loss(inputs, r_out)
+
+    from smart_nar_fast_tts_tpu.models import FastSpeech2Loss
+    pre = PreprocessConfig(stats=STATS)
+    out = model.apply(
+        variables, jnp.asarray(texts), jnp.asarray(src_lens),
+        mels=jnp.asarray(mels), mel_lens=jnp.asarray(mel_lens),
+        p_targets=jnp.asarray(pitch), e_targets=jnp.asarray(energy),
+        deterministic=True)
+    losses = FastSpeech2Loss(pre)(
+        out, jnp.asarray(mels), jnp.asarray(pitch), jnp.asarray(energy))
+
+    np.testing.assert_allclose(float(losses.mel), float(r_mel), atol=1e-4)
+    np.testing.assert_allclose(float(losses.postnet_mel), float(r_post),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(losses.pitch), float(r_pitch),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(losses.energy), float(r_energy),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(losses.duration), float(r_dur),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(losses.attention), float(r_attn),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(losses.total), float(r_total),
+                               rtol=1e-4)
+
+
 def test_state_dict_roundtrip(converted):
     ref, torch, model, variables, cfg = converted
     sd0 = {k: v.detach().numpy() for k, v in ref.state_dict().items()
