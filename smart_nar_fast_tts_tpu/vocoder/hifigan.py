@@ -1,0 +1,199 @@
+"""HiFi-GAN V1 generator, TPU-native.
+
+The reference consumes HiFi-GAN through an external package (its ``hifigan/``
+directory is a broken symlink); the required surface is reconstructed from
+usage at ``utils/model.py:53-65`` (build from a config dict, load the
+``"generator"`` entry of a torch checkpoint, fold weight norm, run
+``generator(mel)``) plus the upstream V1 topology documented in SURVEY.md
+§2.6 #5: conv_pre 80→512 k7; four transposed-conv upsample stages (rates
+8,8,2,2 / kernels 16,16,4,4, channel halving 512→32); multi-receptive-field
+ResBlocks k∈{3,7,11} with dilations (1,3,5); conv_post →1 k7 with tanh;
+LeakyReLU 0.1 between stages (~13.9M params).
+
+TPU-first design decisions:
+- Feature-last ``(B, T, C)`` layout throughout so every conv lowers to an
+  MXU matmul over the channel axis.
+- Transposed convs are expressed as ``lax.conv_general_dilated`` with input
+  (lhs) dilation — the exact gradient-of-conv form XLA tiles well — with
+  torch-compatible edge semantics so imported checkpoints are bit-faithful.
+- Weight norm is always folded at import time (inference) and *not*
+  reparameterized during training; GAN fine-tuning uses plain kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    """Upstream V1 `config.json` subset actually consumed by the generator
+    (reference usage: ``utils/model.py:53-58`` reads the JSON into an
+    AttrDict and passes it wholesale)."""
+
+    resblock: str = "1"
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    n_mels: int = 80
+    sampling_rate: int = 22050
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for u in self.upsample_rates:
+            out *= u
+        return out
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HiFiGANConfig":
+        keep = {k: d[k] for k in (
+            "resblock", "upsample_rates", "upsample_kernel_sizes",
+            "upsample_initial_channel", "resblock_kernel_sizes",
+            "resblock_dilation_sizes") if k in d}
+        if "num_mels" in d:
+            keep["n_mels"] = d["num_mels"]
+        if "sampling_rate" in d:
+            keep["sampling_rate"] = d["sampling_rate"]
+        return cls(**keep)
+
+
+class Conv1d(nn.Module):
+    """Plain 1-D conv, feature-last, torch-compatible explicit padding."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel_size - 1) * self.dilation // 2
+        return nn.Conv(self.features, (self.kernel_size,),
+                       kernel_dilation=(self.dilation,),
+                       padding=[(pad, pad)], name="conv")(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """Torch-semantics transposed conv via lhs-dilated conv.
+
+    ``ConvTranspose1d(stride=u, padding=p)`` ≡ dilate the input by ``u``,
+    then a stride-1 conv with edge padding ``k-1-p``.  Output length is
+    ``(T-1)·u − 2p + k`` which equals ``T·u`` for the V1 stage shapes
+    (p = (k−u)//2).  Kernel param layout is (k, in, out) = WIO.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, u = self.kernel_size, self.stride
+        p = (k - u) // 2
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = lax.conv_general_dilated(
+            x, kernel, window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y + bias
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block: per dilation d — LReLU → conv(k, dil d) → LReLU →
+    conv(k, dil 1) → +residual."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = Conv1d(self.channels, self.kernel_size, dilation=d,
+                       name=f"convs1_{i}")(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            h = Conv1d(self.channels, self.kernel_size, dilation=1,
+                       name=f"convs2_{i}")(h)
+            x = x + h
+        return x
+
+
+class ResBlock2(nn.Module):
+    """V2/V3 variant: per dilation d — LReLU → conv(k, dil d) → +residual."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = Conv1d(self.channels, self.kernel_size, dilation=d,
+                       name=f"convs_{i}")(h)
+            x = x + h
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """log-mel (B, T, n_mels) → waveform (B, T·hop) in [-1, 1]."""
+
+    config: HiFiGANConfig = field(default_factory=HiFiGANConfig)
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        res_cls = ResBlock1 if str(c.resblock) == "1" else ResBlock2
+        n_kernels = len(c.resblock_kernel_sizes)
+
+        x = Conv1d(c.upsample_initial_channel, 7, name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(c.upsample_rates,
+                                       c.upsample_kernel_sizes)):
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(ch, k, u, name=f"ups_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                             c.resblock_dilation_sizes)):
+                y = res_cls(ch, rk, tuple(rd),
+                            name=f"resblocks_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / n_kernels
+        # upstream's final activation uses torch's default slope 0.01,
+        # not LRELU_SLOPE — kept for checkpoint fidelity
+        x = nn.leaky_relu(x, 0.01)
+        x = Conv1d(1, 7, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+def hifigan_infer(generator: HiFiGANGenerator, variables, mels,
+                  mel_lens=None, max_wav_value: float = 32768.0):
+    """Batched mel → waveform list (reference ``utils/model.py:70-88``):
+    runs the generator jitted, scales by ``max_wav_value`` and trims each
+    item to ``mel_lens[i]·hop`` samples.  Returns float32 waveforms in
+    [-max_wav_value, max_wav_value] (callers convert to int16 at IO)."""
+    mels = jnp.asarray(mels)
+    wavs = jax.jit(generator.apply)(variables, mels)
+    hop = generator.config.hop_length
+    import numpy as np
+    wavs = np.asarray(wavs) * max_wav_value
+    if mel_lens is None:
+        return list(wavs)
+    return [w[: int(n) * hop] for w, n in zip(wavs, np.asarray(mel_lens))]
