@@ -7,9 +7,14 @@ from .checkpoint import CheckpointManager
 from .evaluate import evaluate
 from .logging import MetricWriter, format_losses, plot_mel
 from .trainer import Trainer
+from .vocoder import (VocoderState, VocoderMetrics, create_vocoder_state,
+                      make_vocoder_optimizer, make_vocoder_train_step,
+                      sample_segments)
 
 __all__ = [
     "noam_schedule", "make_optimizer", "TrainState", "create_train_state",
     "Batch", "make_train_step", "make_eval_step", "CheckpointManager",
     "evaluate", "MetricWriter", "format_losses", "plot_mel", "Trainer",
+    "VocoderState", "VocoderMetrics", "create_vocoder_state",
+    "make_vocoder_optimizer", "make_vocoder_train_step", "sample_segments",
 ]

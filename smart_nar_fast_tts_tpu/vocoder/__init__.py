@@ -3,8 +3,15 @@
 from .hifigan import (HiFiGANConfig, HiFiGANGenerator, ResBlock1, ResBlock2,
                       hifigan_infer)
 from .convert import fold_weight_norm, load_hifigan, torch_to_flax
+from .discriminators import (HiFiGANDiscriminator, MultiPeriodDiscriminator,
+                             MultiScaleDiscriminator)
+from .losses import (discriminator_loss, feature_matching_loss,
+                     generator_adversarial_loss, mel_l1_loss)
 
 __all__ = [
     "HiFiGANConfig", "HiFiGANGenerator", "ResBlock1", "ResBlock2",
     "hifigan_infer", "fold_weight_norm", "load_hifigan", "torch_to_flax",
+    "HiFiGANDiscriminator", "MultiPeriodDiscriminator",
+    "MultiScaleDiscriminator", "discriminator_loss", "feature_matching_loss",
+    "generator_adversarial_loss", "mel_l1_loss",
 ]
