@@ -1,0 +1,150 @@
+"""Pallas kernels vs their pure-JAX oracles (interpret mode on CPU).
+
+Each kernel in ``ops/pallas/`` must match the oracle that the rest of the
+framework uses: flash attention vs ``models.layers.masked_softmax``
+attention, banded Gaussian upsampling vs ``ops.upsample.gaussian_upsample``,
+fused log-mel vs ``audio.stft.mel_spectrogram``.
+"""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from smart_nar_fast_tts_tpu.audio.stft import (MelSpectrogramConfig,
+                                               mel_spectrogram)
+from smart_nar_fast_tts_tpu.ops.pallas.attention import (
+    _attention_reference, flash_attention)
+from smart_nar_fast_tts_tpu.ops.pallas.stft import fused_log_mel
+from smart_nar_fast_tts_tpu.ops.pallas.upsample import (
+    gaussian_upsample_banded)
+from smart_nar_fast_tts_tpu.ops.upsample import gaussian_upsample
+
+
+class TestFlashAttention:
+    def _data(self, B=2, H=2, Lq=100, Lk=75, D=32, seed=0):
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(B, H, Lq, D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+        lens = rng.randint(1, Lk + 1, size=B)
+        valid = jnp.asarray(np.arange(Lk)[None, :] < lens[:, None])
+        return q, k, v, valid
+
+    def test_matches_oracle(self):
+        q, k, v, valid = self._data()
+        ref = _attention_reference(q, k, v, valid)
+        out = flash_attention(q, k, v, valid, 32, 32, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_oracle_matches_model_layer(self):
+        # _attention_reference must itself equal the model's masked_softmax
+        from smart_nar_fast_tts_tpu.models.layers import masked_softmax
+        q, k, v, valid = self._data(seed=3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(q.shape[-1])
+        p = masked_softmax(scores, valid[:, None, None, :])
+        expect = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        got = _attention_reference(q, k, v, valid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_ragged_block_boundaries(self):
+        # Lq/Lk not multiples of the block sizes
+        q, k, v, valid = self._data(Lq=33, Lk=47, seed=1)
+        ref = _attention_reference(q, k, v, valid)
+        out = flash_attention(q, k, v, valid, 16, 16, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_fully_masked_rows_zero(self):
+        q, k, v, _ = self._data(B=1, seed=2)
+        valid = jnp.zeros((1, k.shape[2]), bool)
+        out = flash_attention(q, k, v, valid, 32, 32, True)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_gradients_flow(self):
+        q, k, v, valid = self._data(B=1, H=1, Lq=16, Lk=16, D=8)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, valid, 16, 16, True) ** 2)
+
+        g_flash = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_attention_reference(q, k, v, valid) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+class TestBandedGaussianUpsample:
+    def _data(self, B=2, L=40, D=16, seed=0):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+        lens = rng.randint(L // 2, L + 1, size=B)
+        valid = jnp.asarray(
+            (np.arange(L)[None, :] < lens[:, None]).astype(np.float32))
+        dur = jnp.asarray(rng.randint(0, 12, size=(B, L)).astype(np.float32))
+        return x, dur, valid
+
+    def test_matches_dense_oracle(self):
+        x, dur, valid = self._data()
+        T = 300
+        ref, ref_len, _ = gaussian_upsample(x, dur, T, valid, sigma=10.0)
+        out, mel_len = gaussian_upsample_banded(
+            x, dur, T, valid, sigma=10.0, block_l=16, block_t=64,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(mel_len),
+                                      np.asarray(ref_len))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_band_skip_no_loss(self):
+        # long sequence where most phoneme blocks are skipped per t-block
+        x, dur, valid = self._data(B=1, L=128, seed=1)
+        T = 1024
+        ref, _, _ = gaussian_upsample(x, dur, T, valid, sigma=10.0)
+        out, _ = gaussian_upsample_banded(
+            x, dur, T, valid, sigma=10.0, block_l=16, block_t=128,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_zero_durations(self):
+        x, _, valid = self._data(B=1)
+        dur = jnp.zeros((1, x.shape[1]))
+        out, mel_len = gaussian_upsample_banded(
+            x, dur, 64, valid, interpret=True)
+        assert int(mel_len[0]) == 0
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestFusedLogMel:
+    @pytest.mark.parametrize("n_samples", [4096, 5000])
+    def test_matches_oracle(self, n_samples):
+        cfg = MelSpectrogramConfig(n_fft=256, hop_length=64, win_length=256,
+                                   n_mels=20, mel_fmax=8000.0)
+        rng = np.random.RandomState(0)
+        y = jnp.asarray(rng.uniform(-1, 1, (2, n_samples))
+                        .astype(np.float32))
+        mel_ref, en_ref = mel_spectrogram(y, cfg)
+        mel, en = fused_log_mel(y, cfg, block_f=32, interpret=True)
+        assert mel.shape == mel_ref.shape
+        np.testing.assert_allclose(np.asarray(mel), np.asarray(mel_ref),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(en), np.asarray(en_ref),
+                                   atol=2e-3, rtol=1e-4)
+
+    def test_silence_hits_clip_floor(self):
+        cfg = MelSpectrogramConfig(n_fft=256, hop_length=64, win_length=256,
+                                   n_mels=20)
+        y = jnp.zeros((1, 2048))
+        mel, en = fused_log_mel(y, cfg, block_f=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(mel),
+                                   np.log(cfg.compression_clip), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(en), 0.0, atol=1e-6)
