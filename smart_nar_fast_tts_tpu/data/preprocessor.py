@@ -28,7 +28,7 @@ import numpy as np
 from ..audio.stft import MelSpectrogramConfig, mel_spectrogram
 from ..config import PreprocessConfig
 from .alignment import get_alignment
-from .pitch import estimate_f0
+from .native_f0 import estimate_f0_native as estimate_f0
 from .textgrid import read_textgrid
 from .wavio import load_wav
 
