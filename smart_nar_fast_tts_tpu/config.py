@@ -217,6 +217,10 @@ class TrainConfig:
     mesh_shape: tuple[int, ...] = (-1, 1)          # (data, model)
     mesh_axis_names: tuple[str, ...] = ("data", "model")
     seed: int = 1234
+    # jax.profiler trace window: arm at profile_start_step (0 = off),
+    # capture profile_num_steps steps, write <log_path>/profile
+    profile_start_step: int = 0
+    profile_num_steps: int = 5
 
 
 @dataclass(frozen=True)

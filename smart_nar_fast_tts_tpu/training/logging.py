@@ -47,6 +47,12 @@ class MetricWriter:
         if self.enabled:
             self._tb.add_scalar(tag, float(value), step)
 
+    def scalar_dict(self, step: int, values: dict, prefix: str = "Perf"
+                    ) -> None:
+        if self.enabled:
+            for tag, value in values.items():
+                self._tb.add_scalar(f"{prefix}/{tag}", float(value), step)
+
     def figure(self, step: int, tag: str, fig) -> None:
         if self.enabled:
             self._tb.add_figure(tag, fig, step)

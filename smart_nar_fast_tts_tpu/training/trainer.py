@@ -23,6 +23,7 @@ from ..parallel import batch_sharding, make_mesh
 from .checkpoint import CheckpointManager
 from .evaluate import evaluate
 from .logging import MetricWriter, format_losses, plot_mel
+from .profiling import StepProfiler, Throughput
 from .schedule import make_optimizer
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
@@ -109,6 +110,10 @@ class Trainer:
 
         train_writer = MetricWriter(f"{c.train.log_path}/train")
         val_writer = MetricWriter(f"{c.train.log_path}/val")
+        profiler = StepProfiler(c.train.log_path,
+                                c.train.profile_start_step,
+                                c.train.profile_num_steps)
+        throughput = Throughput()
         train_batcher = self.make_batcher("train.txt")
         val_batcher = self.make_batcher("val.txt")
         rng = jax.random.PRNGKey(c.train.seed)
@@ -125,6 +130,9 @@ class Trainer:
                     batch = jax.device_put(batch, sharding)
                     state, losses = self.train_step(state, batch, rng)
                     step += 1
+                    profiler.step(step)
+                    throughput.update(int(np.sum(np.asarray(
+                        batch.mel_lens))))
 
                     if step % sc.log_step == 0:
                         if not np.isfinite(float(losses.total)):
@@ -132,6 +140,9 @@ class Trainer:
                                 f"non-finite loss at step {step}: "
                                 f"{losses}")
                         train_writer.scalars(step, losses)
+                        rates = throughput.snapshot()
+                        if rates:
+                            train_writer.scalar_dict(step, rates)
                         msg = format_losses(step, total, losses)
                         train_writer.message(msg)
                     if step % sc.synth_step == 0:
@@ -151,6 +162,7 @@ class Trainer:
             ckpt.wait()
         finally:
             signal.signal(signal.SIGTERM, prev)
+            profiler.close()
             ckpt.close()
             train_writer.close()
             val_writer.close()
