@@ -7,6 +7,8 @@ from .discriminators import (HiFiGANDiscriminator, MultiPeriodDiscriminator,
                              MultiScaleDiscriminator)
 from .losses import (discriminator_loss, feature_matching_loss,
                      generator_adversarial_loss, mel_l1_loss)
+from .melgan import (MelGANConfig, MelGANGenerator, melgan_inverse,
+                     melgan_torch_to_flax)
 
 __all__ = [
     "HiFiGANConfig", "HiFiGANGenerator", "ResBlock1", "ResBlock2",
@@ -14,4 +16,6 @@ __all__ = [
     "HiFiGANDiscriminator", "MultiPeriodDiscriminator",
     "MultiScaleDiscriminator", "discriminator_loss", "feature_matching_loss",
     "generator_adversarial_loss", "mel_l1_loss",
+    "MelGANConfig", "MelGANGenerator", "melgan_inverse",
+    "melgan_torch_to_flax",
 ]
