@@ -168,7 +168,11 @@ class BucketBatcher:
             total += n + (0 if (self.drop_last or r == 0) else 1)
         return total
 
-    def batches(self, epoch: int = 0) -> Iterator[tuple]:
+    def batches(self, epoch: int = 0, skip: int = 0) -> Iterator[tuple]:
+        """Deterministic epoch schedule; ``skip`` resumes mid-epoch after a
+        checkpoint restore (the schedule depends only on (seed, epoch), so
+        every host skips identically — SURVEY.md §5.4's resumable iterator,
+        absent from the reference)."""
         rng = np.random.default_rng((self.seed, epoch))
         schedule: list[tuple[BucketSpec, np.ndarray]] = []
         for spec in sorted(self._assignments,
@@ -181,7 +185,7 @@ class BucketBatcher:
                     continue
                 schedule.append((spec, chunk))
         order = rng.permutation(len(schedule))
-        for k in order:
+        for k in order[skip:]:
             spec, chunk = schedule[k]
             yield self._collate(spec, chunk)
 

@@ -102,11 +102,12 @@ class Trainer:
         state = self.init_state()
         ckpt = CheckpointManager(c.train.ckpt_path,
                                  save_interval_steps=sc.save_step)
-        epoch = 0
+        epoch, in_epoch = 0, 0
         if restore:
             state, data_state = ckpt.restore(state)
             if data_state:
                 epoch = int(data_state.get("epoch", 0))
+                in_epoch = int(data_state.get("in_epoch", 0))
 
         train_writer = MetricWriter(f"{c.train.log_path}/train")
         val_writer = MetricWriter(f"{c.train.log_path}/val")
@@ -126,10 +127,12 @@ class Trainer:
         step = int(np.asarray(state.step))
         try:
             while step < total and not self._stop:
-                for batch, ids, raws in train_batcher.batches(epoch):
+                for batch, ids, raws in train_batcher.batches(
+                        epoch, skip=in_epoch):
                     batch = jax.device_put(batch, sharding)
                     state, losses = self.train_step(state, batch, rng)
                     step += 1
+                    in_epoch += 1
                     profiler.step(step)
                     throughput.update(int(np.sum(np.asarray(
                         batch.mel_lens))))
@@ -153,12 +156,15 @@ class Trainer:
                                        val_batcher.batches(0), step, total,
                                        val_writer)
                         val_writer.message(msg)
-                    ckpt.save(state, {"epoch": epoch})
+                    ckpt.save(state, {"epoch": epoch,
+                                      "in_epoch": in_epoch})
                     if step >= total or self._stop:
                         break
                 epoch += 1
+                in_epoch = 0
             if ckpt.latest_step() != step:
-                ckpt.save(state, {"epoch": epoch}, force=True)
+                ckpt.save(state, {"epoch": epoch, "in_epoch": in_epoch},
+                          force=True)
             ckpt.wait()
         finally:
             signal.signal(signal.SIGTERM, prev)

@@ -295,3 +295,16 @@ def test_bucket_batcher_multihost_lockstep(corpus):
     for (ba, ia, _), (bb, ib, _) in zip(*seqs):
         assert ba.texts.shape == bb.texts.shape    # lockstep shapes
         assert len(ia) == len(ib) == 1             # local batch = 1
+
+
+def test_bucket_batcher_mid_epoch_resume(corpus):
+    cfg, out_dir, _ = corpus
+    ds = AcousticDataset("train.txt", cfg)
+    batcher = BucketBatcher(ds, batch_size=2, text_buckets=(8, 16, 32),
+                            mel_buckets=(64, 128, 256), seed=7)
+    full = [ids for _, ids, _ in batcher.batches(epoch=2)]
+    assert len(full) >= 2
+    resumed = [ids for _, ids, _ in batcher.batches(epoch=2, skip=2)]
+    assert resumed == full[2:]
+    # skipping the whole epoch yields nothing
+    assert list(batcher.batches(epoch=2, skip=len(full))) == []
