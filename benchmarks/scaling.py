@@ -11,6 +11,10 @@ the 8-virtual-device CPU mesh:
         python -m benchmarks.scaling
 
 Prints one JSON line compatible with the driver's bench contract.
+
+NOTE: virtual CPU devices share the same physical cores, so the efficiency
+number is only meaningful on real multi-chip hardware — the CPU run is a
+correctness smoke of the sharded measurement path, not a perf claim.
 """
 
 from __future__ import annotations

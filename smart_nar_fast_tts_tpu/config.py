@@ -221,6 +221,9 @@ class TrainConfig:
     # capture profile_num_steps steps, write <log_path>/profile
     profile_start_step: int = 0
     profile_num_steps: int = 5
+    # HiFi-GAN generator checkpoint for in-training audio logging
+    # (reference synth_one_sample vocodes the sample, utils/tools.py:96-150)
+    vocoder_ckpt: str | None = None
 
 
 @dataclass(frozen=True)

@@ -46,7 +46,7 @@ class TxtEncoder(nn.Module):
         for i in range(t.encoder_layer):
             x, _ = FFTBlock(
                 t.encoder_hidden, t.encoder_head, t.conv_filter_size,
-                t.conv_kernel_size, t.encoder_dropout,
+                t.conv_kernel_size, t.encoder_dropout, need_attn=False,
                 name=f"layer_{i}")(x, src_valid,
                                    deterministic=deterministic,
                                    cap_valid=src_cap)
@@ -106,7 +106,7 @@ class MelDecoder(nn.Module):
         for i in range(t.decoder_layer):
             x, _ = FFTBlock(
                 t.decoder_hidden, t.decoder_head, t.conv_filter_size,
-                t.conv_kernel_size, t.decoder_dropout,
+                t.conv_kernel_size, t.decoder_dropout, need_attn=False,
                 name=f"layer_{i}")(x, mel_valid,
                                    deterministic=deterministic,
                                    cap_valid=mel_cap)

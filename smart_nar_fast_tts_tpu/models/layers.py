@@ -50,11 +50,17 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     n_head: int
     dropout: float
+    # None = only when the caller discards the maps AND a TPU backend is
+    # live; the Pallas flash path never materializes (Lq, Lk) scores, so it
+    # cannot return per-head attention (MelEncoder alignment needs them).
+    need_attn: bool = True
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
                  key_valid: jnp.ndarray, deterministic: bool = True
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        from ..ops.pallas import flash_attention, pallas_interpret, use_pallas
+
         d_k = self.d_model // self.n_head
         B, Lq, _ = q_in.shape
         Lk = kv_in.shape[1]
@@ -67,13 +73,18 @@ class MultiHeadAttention(nn.Module):
         k = proj(kv_in, "w_k", Lk)
         v = proj(kv_in, "w_v", Lk)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(d_k, scores.dtype))
-        attn = masked_softmax(scores, key_valid[:, None, None, :])
-
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if not self.need_attn and use_pallas():
+            attn = None
+            # positional: custom_vjp functions reject keyword arguments
+            out = flash_attention(q, k, v, key_valid, 256, 256,
+                                  pallas_interpret())
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.asarray(d_k, scores.dtype))
+            attn = masked_softmax(scores, key_valid[:, None, None, :])
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.n_head * d_k)
         out = nn.Dense(self.d_model, name="fc")(out.astype(q_in.dtype))
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -123,6 +134,7 @@ class FFTBlock(nn.Module):
     d_inner: int
     kernel_sizes: tuple[int, int]
     dropout: float
+    need_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, q_valid: jnp.ndarray,
@@ -130,11 +142,12 @@ class FFTBlock(nn.Module):
                  kv_valid: Optional[jnp.ndarray] = None,
                  deterministic: bool = True,
                  cap_valid: Optional[jnp.ndarray] = None
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         key_input = x if kv is None else kv
         key_valid = q_valid if kv_valid is None else kv_valid
         out, attn = MultiHeadAttention(
-            self.d_model, self.n_head, self.dropout, name="attn")(
+            self.d_model, self.n_head, self.dropout,
+            need_attn=self.need_attn, name="attn")(
                 x, key_input, key_valid, deterministic)
         out = jnp.where(q_valid[:, :, None], out, 0.0)
         out = ConvFFN(self.d_model, self.d_inner, self.kernel_sizes,

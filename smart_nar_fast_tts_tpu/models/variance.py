@@ -172,9 +172,20 @@ class VarianceAdaptor(nn.Module):
 
         weights = None
         if self.cfg.upsampling == "gaussian":
-            x, mel_len, weights = gaussian_upsample(
-                x, duration_rounded, max_len, src_valid.astype(x.dtype),
-                sigma=self.cfg.gaussian_sigma)
+            from ..ops.pallas import (gaussian_upsample_banded,
+                                      pallas_interpret, use_pallas)
+            if use_pallas():
+                # band-skipping Pallas kernel: no (B, L, T) weight tensor
+                # in HBM (the weights output is debug-only)
+                x, mel_len = gaussian_upsample_banded(
+                    x, duration_rounded, max_len,
+                    src_valid.astype(x.dtype),
+                    sigma=self.cfg.gaussian_sigma,
+                    interpret=pallas_interpret())
+            else:
+                x, mel_len, weights = gaussian_upsample(
+                    x, duration_rounded, max_len, src_valid.astype(x.dtype),
+                    sigma=self.cfg.gaussian_sigma)
         else:
             x, mel_len = hard_upsample(x, duration_rounded, max_len)
 

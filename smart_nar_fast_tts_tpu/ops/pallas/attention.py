@@ -65,7 +65,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        mask = mask_ref[0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        mask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(
+            jnp.float32)
 
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
@@ -104,7 +105,7 @@ def _flash_forward(q, k, v, key_valid, *, block_q: int, block_k: int,
     qp = qp.reshape(B * H, Lq_p, D)
     kp = kp.reshape(B * H, Lk_p, D)
     vp = vp.reshape(B * H, Lk_p, D)
-    maskp = jnp.repeat(maskp, H, axis=0)              # (B·H, Lk_p)
+    maskp = jnp.repeat(maskp, H, axis=0)[:, None, :]  # (B·H, 1, Lk_p)
 
     grid = (B * H, Lq_p // block_q)
     out = pl.pallas_call(
@@ -115,7 +116,7 @@ def _flash_forward(q, k, v, key_valid, *, block_q: int, block_k: int,
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, Lk_p, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Lk_p, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lk_p), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, Lk_p), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
         interpret=interpret,

@@ -76,8 +76,48 @@ def gaussian_upsample_banded(x: jnp.ndarray, durations: jnp.ndarray,
     weight matrix (never consumed by the model).
 
     Args match the oracle: x (B, L, D), durations (B, L), phon_valid (B, L)
-    float {0,1}; returns (out (B, T, D), mel_len (B,)).
+    float {0,1}; returns (out (B, T, D), mel_len (B,)).  Differentiable:
+    the backward pass recomputes through the dense oracle.
     """
+    d = durations.astype(jnp.float32) * phon_valid
+    total = jnp.sum(d, axis=1)
+    mel_len = jnp.minimum(total, max_len).astype(jnp.int32)
+    out = _banded_out(x, durations, phon_valid, max_len, sigma, block_l,
+                      block_t, band_sigmas, interpret)
+    return out, mel_len
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _banded_out(x, durations, phon_valid, max_len, sigma, block_l, block_t,
+                band_sigmas, interpret):
+    return _banded_forward(x, durations, phon_valid, max_len, sigma,
+                           block_l, block_t, band_sigmas, interpret)
+
+
+def _banded_fwd(x, durations, phon_valid, max_len, sigma, block_l, block_t,
+                band_sigmas, interpret):
+    out = _banded_forward(x, durations, phon_valid, max_len, sigma,
+                          block_l, block_t, band_sigmas, interpret)
+    return out, (x, durations, phon_valid)
+
+
+def _banded_bwd(max_len, sigma, block_l, block_t, band_sigmas, interpret,
+                res, g):
+    from ..upsample import gaussian_upsample
+    x, durations, phon_valid = res
+    _, vjp = jax.vjp(
+        lambda x, d, v: gaussian_upsample(x, d, max_len, v, sigma=sigma)[0],
+        x, durations, phon_valid)
+    return vjp(g)
+
+
+_banded_out.defvjp(_banded_fwd, _banded_bwd)
+
+
+def _banded_forward(x: jnp.ndarray, durations: jnp.ndarray,
+                    phon_valid: jnp.ndarray, max_len: int, sigma: float,
+                    block_l: int, block_t: int, band_sigmas: float,
+                    interpret: bool) -> jnp.ndarray:
     B, L, D = x.shape
     d = durations.astype(jnp.float32) * phon_valid
     e = jnp.cumsum(d, axis=1)
@@ -118,6 +158,4 @@ def gaussian_upsample_banded(x: jnp.ndarray, durations: jnp.ndarray,
     out = out[:, :max_len, :]
     t_idx = jnp.arange(max_len, dtype=jnp.float32)
     frame_valid = t_idx[None, :] < total[:, None]
-    out = jnp.where(frame_valid[:, :, None], out, 0.0)
-    mel_len = jnp.minimum(total, max_len).astype(jnp.int32)
-    return out, mel_len
+    return jnp.where(frame_valid[:, :, None], out, 0.0)

@@ -63,6 +63,10 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.loss,
                                         mesh=self.mesh)
         self._stop = False
+        self._vocoder = None
+        if cfg.train.vocoder_ckpt and jax.process_index() == 0:
+            from ..vocoder import load_hifigan
+            self._vocoder = load_hifigan(cfg.train.vocoder_ckpt)
 
     # -- data -------------------------------------------------------------
     def make_batcher(self, split: str) -> BucketBatcher:
@@ -196,3 +200,14 @@ class Trainer:
         writer.figure(step, "Training/step_{}_{}".format(step, ids[0]), fig)
         import matplotlib.pyplot as plt
         plt.close(fig)
+        if self._vocoder is not None:
+            # reference synth_one_sample vocodes both reconstructed and GT
+            # mels (utils/tools.py:108-132)
+            from ..vocoder import hifigan_infer
+            gen, variables = self._vocoder
+            sr = self.cfg.preprocess.audio.sampling_rate
+            for tag, mel in (("synthesized", mel_pred.T),
+                             ("reconstructed_gt", mel_true.T)):
+                wav = hifigan_infer(gen, variables, mel[None])[0]
+                writer.audio(step, f"Training/step_{step}_{ids[0]}_{tag}",
+                             np.asarray(wav), sr)

@@ -98,9 +98,14 @@ def make_vocoder_train_step(generator: HiFiGANGenerator,
     def step(state: VocoderState, wavs: jnp.ndarray,
              mels: Optional[jnp.ndarray] = None):
         from ..audio.stft import mel_spectrogram
+        from ..ops.pallas import fused_log_mel, pallas_interpret, use_pallas
         if mels is None:
-            mel_in, _ = mel_spectrogram(wavs, mel_cfg)   # (B, n_mels, F)
-            mel_in = jnp.swapaxes(mel_in, 1, 2)          # (B, F, n_mels)
+            if use_pallas():
+                mel_in, _ = fused_log_mel(wavs, mel_cfg,
+                                          interpret=pallas_interpret())
+            else:
+                mel_in, _ = mel_spectrogram(wavs, mel_cfg)  # (B, n_mels, F)
+            mel_in = jnp.swapaxes(mel_in, 1, 2)             # (B, F, n_mels)
         else:
             mel_in = mels
 

@@ -8,6 +8,7 @@ between real and generated waveforms.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..audio.stft import MelSpectrogramConfig, mel_spectrogram
@@ -45,7 +46,14 @@ def feature_matching_loss(real: DiscOutput, fake: DiscOutput) -> jnp.ndarray:
 def mel_l1_loss(wav_fake: jnp.ndarray, wav_real: jnp.ndarray,
                 cfg: MelSpectrogramConfig) -> jnp.ndarray:
     """L1 between log-mels of generated and real waveforms, computed
-    on-device (the mel extraction itself is the in-graph JAX STFT)."""
+    on-device.  The real-waveform branch (no gradient) uses the fused
+    Pallas STFT kernel on TPU; the generated branch stays on the JAX STFT
+    so XLA differentiates it."""
+    from ..ops.pallas import fused_log_mel, pallas_interpret, use_pallas
     mel_f, _ = mel_spectrogram(wav_fake, cfg)
-    mel_r, _ = mel_spectrogram(wav_real, cfg)
+    if use_pallas():
+        mel_r, _ = fused_log_mel(jax.lax.stop_gradient(wav_real), cfg,
+                                 interpret=pallas_interpret())
+    else:
+        mel_r, _ = mel_spectrogram(wav_real, cfg)
     return jnp.mean(jnp.abs(mel_f - mel_r))

@@ -117,3 +117,24 @@ def test_train_restore_evaluate_synthesize(workspace, capsys):
     wavs = [f for f in os.listdir(root / "result") if f.endswith(".wav")]
     pngs = [f for f in os.listdir(root / "result") if f.endswith(".png")]
     assert wavs and pngs, out
+
+
+def test_train_vocoder_cli_smoke(tmp_path):
+    """Tiny end-to-end GAN fine-tune run: loss finite, checkpoint written."""
+    import numpy as np
+    from smart_nar_fast_tts_tpu.data.wavio import save_wav
+    from smart_nar_fast_tts_tpu.cli import train_vocoder
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        save_wav(str(wav_dir / f"{i}.wav"),
+                 (rng.standard_normal(2000) * 3000).astype(np.int16),
+                 22050)
+    out_dir = tmp_path / "out"
+    train_vocoder.main([
+        "--wav_dir", str(wav_dir), "--steps", "2", "--batch_size", "2",
+        "--segment_size", "256", "--save_every", "2", "--log_every", "1",
+        "--out_dir", str(out_dir), "--debug_tiny"])
+    assert (out_dir / "generator_2.msgpack").exists()

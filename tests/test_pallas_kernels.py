@@ -124,6 +124,40 @@ class TestBandedGaussianUpsample:
         np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+class TestModelDispatch:
+    """Full acoustic-model forward with the Pallas kernels forced on
+    (interpret mode) must match the pure-XLA path."""
+
+    def test_inference_forward_parity(self, monkeypatch):
+        from smart_nar_fast_tts_tpu.config import (
+            FeatureStats, ModelConfig, PreprocessConfig)
+        from smart_nar_fast_tts_tpu.models import FastSpeech2Align
+
+        cfg = ModelConfig()
+        pre = PreprocessConfig(stats=FeatureStats(
+            pitch_min=71.0, pitch_max=799.8, pitch_mean=207.4,
+            pitch_std=46.5, energy_min=0.018, energy_max=314.9,
+            energy_mean=37.3, energy_std=25.1))
+        model = FastSpeech2Align(cfg, pre)
+        rng = np.random.RandomState(0)
+        texts = jnp.asarray(rng.randint(2, 300, size=(2, 24)), jnp.int32)
+        src_lens = jnp.asarray([24, 17], jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), texts, src_lens,
+                               max_mel_len=96)
+
+        monkeypatch.delenv("SMART_TTS_PALLAS", raising=False)
+        ref = model.apply(variables, texts, src_lens, max_mel_len=96,
+                          deterministic=True)
+        monkeypatch.setenv("SMART_TTS_PALLAS", "interpret")
+        got = model.apply(variables, texts, src_lens, max_mel_len=96,
+                          deterministic=True)
+        np.testing.assert_allclose(np.asarray(got.postnet_mel),
+                                   np.asarray(ref.postnet_mel),
+                                   atol=5e-4, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got.mel_lens),
+                                      np.asarray(ref.mel_lens))
+
+
 class TestFusedLogMel:
     @pytest.mark.parametrize("n_samples", [4096, 5000])
     def test_matches_oracle(self, n_samples):
