@@ -29,6 +29,11 @@ def _pe(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(sinusoid_table(length, dim), dtype=dtype)
 
 
+def _dtype_of(cfg: ModelConfig) -> jnp.dtype:
+    return (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+            else jnp.float32)
+
+
 class TxtEncoder(nn.Module):
     """Phoneme embedding + PE + N self-attention FFT blocks
     (reference ``transformer/Models.py:33-100``)."""
@@ -40,17 +45,20 @@ class TxtEncoder(nn.Module):
                  deterministic: bool = True,
                  src_cap: jnp.ndarray | None = None) -> jnp.ndarray:
         t = self.cfg.transformer
-        emb = nn.Embed(VOCAB_SIZE, t.encoder_hidden, name="src_word_emb")(
-            texts)
+        dtype = _dtype_of(self.cfg)
+        emb = nn.Embed(VOCAB_SIZE, t.encoder_hidden, dtype=dtype,
+                       name="src_word_emb")(texts)
         x = emb + _pe(texts.shape[1], t.encoder_hidden, emb.dtype)[None]
         for i in range(t.encoder_layer):
             x, _ = FFTBlock(
                 t.encoder_hidden, t.encoder_head, t.conv_filter_size,
                 t.conv_kernel_size, t.encoder_dropout, need_attn=False,
+                dtype=dtype,
                 name=f"layer_{i}")(x, src_valid,
                                    deterministic=deterministic,
                                    cap_valid=src_cap)
-        return x
+        # variance adaptor and duration extraction stay in f32
+        return x.astype(jnp.float32)
 
 
 class MelEncoder(nn.Module):
@@ -78,6 +86,8 @@ class MelEncoder(nn.Module):
         x = Prenet(t.decoder_hidden, dropout=0.2, name="prenet")(
             go_mels, deterministic)
         x = x + _pe(mels.shape[1], t.decoder_hidden, x.dtype)[None]
+        # alignment attention maps feed duration extraction + the guided
+        # attention loss — keep this stack in f32 regardless of policy
         attns = []
         for i in range(t.decoder_layer):
             x, attn = FFTBlock(
@@ -102,12 +112,15 @@ class MelDecoder(nn.Module):
                  deterministic: bool = True,
                  mel_cap: jnp.ndarray | None = None) -> jnp.ndarray:
         t = self.cfg.transformer
-        x = x + _pe(x.shape[1], t.decoder_hidden, x.dtype)[None]
+        dtype = _dtype_of(self.cfg)
+        x = x.astype(dtype) + _pe(x.shape[1], t.decoder_hidden,
+                                  dtype)[None]
         for i in range(t.decoder_layer):
             x, _ = FFTBlock(
                 t.decoder_hidden, t.decoder_head, t.conv_filter_size,
                 t.conv_kernel_size, t.decoder_dropout, need_attn=False,
+                dtype=dtype,
                 name=f"layer_{i}")(x, mel_valid,
                                    deterministic=deterministic,
                                    cap_valid=mel_cap)
-        return x
+        return x.astype(jnp.float32)     # mel_linear/postnet stay f32

@@ -50,10 +50,12 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     n_head: int
     dropout: float
-    # None = only when the caller discards the maps AND a TPU backend is
-    # live; the Pallas flash path never materializes (Lq, Lk) scores, so it
-    # cannot return per-head attention (MelEncoder alignment needs them).
+    # The Pallas flash path never materializes (Lq, Lk) scores, so it
+    # cannot return per-head attention (MelEncoder alignment needs them);
+    # it dispatches only when the caller discards the maps AND a TPU
+    # backend is live.
     need_attn: bool = True
+    dtype: jnp.dtype = jnp.float32       # activation/compute dtype
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
@@ -66,7 +68,7 @@ class MultiHeadAttention(nn.Module):
         Lk = kv_in.shape[1]
 
         def proj(x, name, L):
-            y = nn.Dense(self.n_head * d_k, name=name)(x)
+            y = nn.Dense(self.n_head * d_k, dtype=self.dtype, name=name)(x)
             return y.reshape(B, L, self.n_head, d_k).transpose(0, 2, 1, 3)
 
         q = proj(q_in, "w_q", Lq)
@@ -86,9 +88,11 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.n_head * d_k)
-        out = nn.Dense(self.d_model, name="fc")(out.astype(q_in.dtype))
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(
+            out.astype(self.dtype))
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(out + q_in)
+        out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                           name="layer_norm")(out + q_in.astype(self.dtype))
         return out, attn
 
 
@@ -109,19 +113,21 @@ class ConvFFN(nn.Module):
     d_inner: int
     kernel_sizes: tuple[int, int]
     dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
                  cap_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = nn.Conv(self.d_inner, (self.kernel_sizes[0],), padding="SAME",
-                    name="w_1")(x)
+                    dtype=self.dtype, name="w_1")(x)
         h = nn.relu(h)
         if cap_valid is not None and self.kernel_sizes[1] > 1:
             h = jnp.where(cap_valid[None, :, None], h, 0.0)
         h = nn.Conv(self.d_model, (self.kernel_sizes[1],), padding="SAME",
-                    name="w_2")(h)
+                    dtype=self.dtype, name="w_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(h + x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                            name="layer_norm")(h + x)
 
 
 class FFTBlock(nn.Module):
@@ -135,6 +141,7 @@ class FFTBlock(nn.Module):
     kernel_sizes: tuple[int, int]
     dropout: float
     need_attn: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, q_valid: jnp.ndarray,
@@ -147,12 +154,12 @@ class FFTBlock(nn.Module):
         key_valid = q_valid if kv_valid is None else kv_valid
         out, attn = MultiHeadAttention(
             self.d_model, self.n_head, self.dropout,
-            need_attn=self.need_attn, name="attn")(
+            need_attn=self.need_attn, dtype=self.dtype, name="attn")(
                 x, key_input, key_valid, deterministic)
         out = jnp.where(q_valid[:, :, None], out, 0.0)
         out = ConvFFN(self.d_model, self.d_inner, self.kernel_sizes,
-                      self.dropout, name="pos_ffn")(out, deterministic,
-                                                    cap_valid)
+                      self.dropout, dtype=self.dtype,
+                      name="pos_ffn")(out, deterministic, cap_valid)
         out = jnp.where(q_valid[:, :, None], out, 0.0)
         return out, attn
 

@@ -147,3 +147,31 @@ class TestPaddingInvariance:
         np.testing.assert_allclose(np.asarray(b.postnet_mel[0, :n]),
                                    np.asarray(a.postnet_mel[0, :n]),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestBF16ComputePath:
+    def test_bfloat16_forward_close_to_f32(self):
+        cfg32 = ModelConfig()
+        cfg16 = ModelConfig(compute_dtype="bfloat16")
+        pre = PreprocessConfig(stats=STATS)
+        rng = np.random.RandomState(0)
+        texts = jnp.asarray(rng.randint(2, 300, (2, 24)), jnp.int32)
+        src_lens = jnp.asarray([24, 17], jnp.int32)
+
+        m32 = FastSpeech2Align(cfg32, pre)
+        variables = m32.init(jax.random.PRNGKey(0), texts, src_lens,
+                             max_mel_len=96)
+        a = m32.apply(variables, texts, src_lens, max_mel_len=96,
+                      deterministic=True)
+        m16 = FastSpeech2Align(cfg16, pre)
+        # same f32 params, bf16 activations
+        b = m16.apply(variables, texts, src_lens, max_mel_len=96,
+                      deterministic=True)
+        assert b.postnet_mel.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(b.postnet_mel)))
+        # bf16 has ~3 decimal digits; random-init mels are O(1)
+        n = min(int(a.mel_lens[0]), int(b.mel_lens[0]))
+        assert n > 0
+        diff = np.max(np.abs(np.asarray(a.postnet_mel[0, :n])
+                             - np.asarray(b.postnet_mel[0, :n])))
+        assert diff < 0.25, f"bf16 drift too large: {diff}"
