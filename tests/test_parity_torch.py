@@ -271,3 +271,76 @@ def test_state_dict_roundtrip(converted):
     assert set(sd1) == set(sd0)
     for k in sd0:
         np.testing.assert_array_equal(sd0[k], sd1[k], err_msg=k)
+
+
+def test_import_checkpoint_cli_roundtrip(reference_model, tmp_path):
+    """Reference .pth.tar → import CLI → Orbax restore → same mel as the
+    direct in-memory conversion (the reference-user migration path)."""
+    ref, torch = reference_model
+    ckpt = tmp_path / "12345.pth.tar"
+    torch.save({"model": ref.state_dict()}, str(ckpt))
+
+    import json as _json
+    import yaml
+    stats_dir = tmp_path / "pre"
+    stats_dir.mkdir()
+    with open(stats_dir / "stats.json", "w") as f:
+        _json.dump({
+            "pitch": [STATS.pitch_min, STATS.pitch_max, STATS.pitch_mean,
+                      STATS.pitch_std],
+            "energy": [STATS.energy_min, STATS.energy_max,
+                       STATS.energy_mean, STATS.energy_std]}, f)
+    p_yaml = tmp_path / "p.yaml"
+    m_yaml = tmp_path / "m.yaml"
+    t_yaml = tmp_path / "t.yaml"
+    p_yaml.write_text(yaml.dump(
+        {"path": {"preprocessed_path": str(stats_dir)}}))
+    m_yaml.write_text(yaml.dump({}))
+    t_yaml.write_text(yaml.dump(
+        {"path": {"ckpt_path": str(tmp_path / "ckpt")}}))
+
+    from smart_nar_fast_tts_tpu.cli import import_checkpoint
+    import_checkpoint.main([
+        "--torch_ckpt", str(ckpt), "-p", str(p_yaml), "-m", str(m_yaml),
+        "-t", str(t_yaml)])
+
+    # restore through the training checkpoint manager
+    from smart_nar_fast_tts_tpu.config import Config
+    from smart_nar_fast_tts_tpu.models import FastSpeech2Align
+    from smart_nar_fast_tts_tpu.training.checkpoint import CheckpointManager
+    from smart_nar_fast_tts_tpu.training.schedule import make_optimizer
+    from smart_nar_fast_tts_tpu.training.state import create_train_state
+
+    cfg = Config.from_yaml_triplet(str(p_yaml), str(m_yaml), str(t_yaml))
+    import dataclasses
+    from smart_nar_fast_tts_tpu.config import FeatureStats
+    cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
+        cfg.preprocess,
+        stats=FeatureStats.from_stats_json(str(stats_dir / "stats.json"))))
+    model = FastSpeech2Align(cfg.model, cfg.preprocess)
+    rng = np.random.RandomState(3)
+    texts = jnp.asarray(rng.randint(2, 300, (1, 12)), jnp.int32)
+    src_lens = jnp.asarray([12], jnp.int32)
+    T0 = 8
+    init_vars = model.init(
+        jax.random.PRNGKey(0), texts, src_lens,
+        mels=jnp.zeros((1, T0, 80)), mel_lens=jnp.asarray([T0], jnp.int32),
+        p_targets=jnp.zeros((1, T0)), e_targets=jnp.zeros((1, T0)))
+    tx = make_optimizer(cfg.train.optimizer, 256)
+    state = create_train_state(init_vars, tx)
+    mngr = CheckpointManager(cfg.train.ckpt_path)
+    state, _ = mngr.restore(state)
+    mngr.close()
+    assert int(np.asarray(state.step)) == 12345
+
+    got = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        texts, src_lens, max_mel_len=64, deterministic=True)
+
+    # oracle: direct in-memory conversion
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    direct = torch_state_dict_to_variables(sd, cfg.model)
+    want = model.apply(direct, texts, src_lens, max_mel_len=64,
+                       deterministic=True)
+    np.testing.assert_allclose(np.asarray(got.postnet_mel),
+                               np.asarray(want.postnet_mel), atol=1e-6)
