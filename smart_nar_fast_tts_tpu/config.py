@@ -162,6 +162,9 @@ class ModelConfig:
     # (recovered bytecode, SURVEY.md §2.4.1).
     duration_extraction: str = "intended"
     duration_head_reduce: str = "first"  # 'first' | 'mean' over heads
+    # guided-attention σ (reference model/loss.py:19); consumed both by the
+    # loss and by the fused alignment-attention kernel's in-kernel reduction
+    guided_sigma: float = 0.2
     # dtype policy: compute dtype for the FFT stacks ('bfloat16'|'float32').
     compute_dtype: str = "float32"
 

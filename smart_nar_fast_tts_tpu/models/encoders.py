@@ -79,24 +79,31 @@ class MelEncoder(nn.Module):
     def __call__(self, src_output: jnp.ndarray, mels: jnp.ndarray,
                  src_valid: jnp.ndarray, mel_valid: jnp.ndarray,
                  deterministic: bool = True,
-                 mel_cap: jnp.ndarray | None = None
-                 ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+                 mel_cap: jnp.ndarray | None = None,
+                 src_lens: jnp.ndarray | None = None,
+                 mel_lens: jnp.ndarray | None = None,
+                 fused: bool = False) -> tuple[jnp.ndarray, list]:
         t = self.cfg.transformer
         go_mels = mels.at[:, 0, :].set(0.0)
         x = Prenet(t.decoder_hidden, dropout=0.2, name="prenet")(
             go_mels, deterministic)
         x = x + _pe(mels.shape[1], t.decoder_hidden, x.dtype)[None]
         # alignment attention maps feed duration extraction + the guided
-        # attention loss — keep this stack in f32 regardless of policy
+        # attention loss — keep this stack in f32 regardless of policy.
+        # ``fused`` swaps in the Pallas kernel that returns only the loss
+        # reductions (ops/pallas/alignment.py) instead of the full maps.
         attns = []
         for i in range(t.decoder_layer):
             x, attn = FFTBlock(
                 t.decoder_hidden, t.decoder_head, t.conv_filter_size,
                 t.conv_kernel_size, t.decoder_dropout,
+                alignment_extras=fused,
+                guided_sigma=self.cfg.guided_sigma,
                 name=f"layer_{i}")(x, mel_valid, kv=src_output,
                                    kv_valid=src_valid,
                                    deterministic=deterministic,
-                                   cap_valid=mel_cap)
+                                   cap_valid=mel_cap,
+                                   src_lens=src_lens, mel_lens=mel_lens)
             attns.append(attn)
         return x, attns
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FeatureStats, ModelConfig, PreprocessConfig
-from ..ops.duration import durations_from_attention
+from ..ops.duration import durations_from_argmax, durations_from_attention
 from ..ops.masks import length_to_valid
 from .encoders import MelDecoder, MelEncoder, TxtEncoder
 from .layers import PostNet
@@ -51,6 +51,9 @@ class ModelOutput(NamedTuple):
     mel_lens: jnp.ndarray                 # (B,)
     alignments: Optional[jnp.ndarray]     # (n_layers, B, H, T, L) train only
     duration_targets: Optional[jnp.ndarray]   # (B, L) train only
+    # fused-alignment path (TPU): per-layer guided-attention numerators
+    # Σ W·p over valid pairs, head 0 (n_layers, B); alignments is None then
+    guided_numerators: Optional[jnp.ndarray] = None
 
 
 class FastSpeech2Align(nn.Module):
@@ -93,20 +96,34 @@ class FastSpeech2Align(nn.Module):
             src_output = src_output + spk[:, None, :]
 
         alignments = None
+        guided_nums = None
         d_targets = None
         mel_cap = None
         if is_training:
+            from ..ops.pallas import use_pallas
             T = mels.shape[1]
             mel_valid = length_to_valid(mel_lens, T)
             mel_cap = jnp.arange(T) < jnp.max(mel_lens)
+            # the fused kernel implements exactly the 'intended'/head-0
+            # semantics; other modes use the XLA path with full maps
+            fused = (use_pallas()
+                     and self.cfg.duration_extraction == "intended"
+                     and self.cfg.duration_head_reduce == "first")
             _, attns = MelEncoder(self.cfg, name="mel_encoder")(
                 src_output, mels, src_valid, mel_valid, deterministic,
-                mel_cap)
-            alignments = jnp.stack(attns)           # (n_layers, B, H, T, L)
-            d_targets = durations_from_attention(
-                jax.lax.stop_gradient(alignments[-1]), src_lens, mel_lens,
-                mode=self.cfg.duration_extraction,
-                head_reduce=self.cfg.duration_head_reduce)
+                mel_cap, src_lens=src_lens, mel_lens=mel_lens, fused=fused)
+            if fused:
+                guided_nums = jnp.stack(
+                    [a["guided_num"] for a in attns])       # (n_layers, B)
+                d_targets = durations_from_argmax(
+                    jax.lax.stop_gradient(attns[-1]["argmax"]),
+                    src_lens, mel_lens, L)
+            else:
+                alignments = jnp.stack(attns)   # (n_layers, B, H, T, L)
+                d_targets = durations_from_attention(
+                    jax.lax.stop_gradient(alignments[-1]), src_lens,
+                    mel_lens, mode=self.cfg.duration_extraction,
+                    head_reduce=self.cfg.duration_head_reduce)
             max_len = T
         else:
             mel_valid = None
@@ -143,4 +160,5 @@ class FastSpeech2Align(nn.Module):
             duration_rounded=va.duration_rounded,
             src_valid=src_valid, mel_valid=va.mel_valid,
             src_lens=src_lens, mel_lens=out_mel_lens,
-            alignments=alignments, duration_targets=d_targets)
+            alignments=alignments, duration_targets=d_targets,
+            guided_numerators=guided_nums)

@@ -56,12 +56,21 @@ class MultiHeadAttention(nn.Module):
     # backend is live.
     need_attn: bool = True
     dtype: jnp.dtype = jnp.float32       # activation/compute dtype
+    # alignment mode: per-head attention maps are consumed only through
+    # their reductions (guided-attn numerator, per-frame argmax) — on TPU
+    # the fused kernel returns exactly those and the (Lq, Lk) probs never
+    # reach HBM; ``attn`` is then a dict {"argmax", "guided_num"}
+    alignment_extras: bool = False
+    guided_sigma: float = 0.2
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
-                 key_valid: jnp.ndarray, deterministic: bool = True
+                 key_valid: jnp.ndarray, deterministic: bool = True,
+                 src_lens: Optional[jnp.ndarray] = None,
+                 mel_lens: Optional[jnp.ndarray] = None
                  ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         from ..ops.pallas import flash_attention, pallas_interpret, use_pallas
+        from ..ops.pallas.alignment import alignment_attention
 
         d_k = self.d_model // self.n_head
         B, Lq, _ = q_in.shape
@@ -75,9 +84,15 @@ class MultiHeadAttention(nn.Module):
         k = proj(kv_in, "w_k", Lk)
         v = proj(kv_in, "w_v", Lk)
 
-        if not self.need_attn and use_pallas():
-            attn = None
+        if (self.alignment_extras and use_pallas()
+                and src_lens is not None and mel_lens is not None):
             # positional: custom_vjp functions reject keyword arguments
+            out, idx, gnum = alignment_attention(
+                q, k, v, key_valid, src_lens, mel_lens,
+                self.guided_sigma, 256, pallas_interpret())
+            attn = {"argmax": idx, "guided_num": gnum}
+        elif not self.need_attn and use_pallas():
+            attn = None
             out = flash_attention(q, k, v, key_valid, 256, 256,
                                   pallas_interpret())
         else:
@@ -142,20 +157,27 @@ class FFTBlock(nn.Module):
     dropout: float
     need_attn: bool = True
     dtype: jnp.dtype = jnp.float32
+    alignment_extras: bool = False
+    guided_sigma: float = 0.2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, q_valid: jnp.ndarray,
                  kv: Optional[jnp.ndarray] = None,
                  kv_valid: Optional[jnp.ndarray] = None,
                  deterministic: bool = True,
-                 cap_valid: Optional[jnp.ndarray] = None
+                 cap_valid: Optional[jnp.ndarray] = None,
+                 src_lens: Optional[jnp.ndarray] = None,
+                 mel_lens: Optional[jnp.ndarray] = None
                  ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         key_input = x if kv is None else kv
         key_valid = q_valid if kv_valid is None else kv_valid
         out, attn = MultiHeadAttention(
             self.d_model, self.n_head, self.dropout,
-            need_attn=self.need_attn, dtype=self.dtype, name="attn")(
-                x, key_input, key_valid, deterministic)
+            need_attn=self.need_attn, dtype=self.dtype,
+            alignment_extras=self.alignment_extras,
+            guided_sigma=self.guided_sigma, name="attn")(
+                x, key_input, key_valid, deterministic,
+                src_lens=src_lens, mel_lens=mel_lens)
         out = jnp.where(q_valid[:, :, None], out, 0.0)
         out = ConvFFN(self.d_model, self.d_inner, self.kernel_sizes,
                       self.dropout, dtype=self.dtype,

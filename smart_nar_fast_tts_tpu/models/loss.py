@@ -89,10 +89,20 @@ class FastSpeech2Loss:
 
         # head 0 of every MelEncoder layer (reference model/loss.py:233-236)
         attn_loss = jnp.asarray(0.0, jnp.float32)
-        for layer in range(output.alignments.shape[0]):
-            attn_loss = attn_loss + guided_attention_loss(
-                output.alignments[layer][:, 0], output.src_lens,
-                output.mel_lens, self.sigma, self.alpha)
+        if output.alignments is not None:
+            for layer in range(output.alignments.shape[0]):
+                attn_loss = attn_loss + guided_attention_loss(
+                    output.alignments[layer][:, 0], output.src_lens,
+                    output.mel_lens, self.sigma, self.alpha)
+        elif output.guided_numerators is not None:
+            # fused-alignment path: the Pallas kernel already reduced
+            # Σ W·p per (layer, item); each layer's loss is that sum over
+            # the batch divided by the batch's valid-pair count — summing
+            # layers first is algebraically identical
+            pairs = jnp.sum(output.src_lens.astype(jnp.float32)
+                            * output.mel_lens.astype(jnp.float32))
+            attn_loss = (self.alpha * jnp.sum(output.guided_numerators)
+                         / jnp.maximum(pairs, 1.0))
 
         total = (mel_loss + postnet_mel_loss + duration_loss + pitch_loss
                  + energy_loss + attn_loss)

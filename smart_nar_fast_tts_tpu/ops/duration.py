@@ -61,3 +61,21 @@ def durations_from_attention(attn: jnp.ndarray, src_lens: jnp.ndarray,
         return counts.astype(jnp.int32)
 
     raise ValueError(f"unknown duration extraction mode: {mode}")
+
+
+def durations_from_argmax(idx: jnp.ndarray, src_lens: jnp.ndarray,
+                          mel_lens: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(B, T) per-frame argmax indices → (B, L) frame counts.
+
+    Same 'intended' semantics as :func:`durations_from_attention` given the
+    argmax indices directly (the fused alignment kernel emits these,
+    ``ops/pallas/alignment.py``): only frames < mel_len count, and padded
+    phonemes receive zero.
+    """
+    B, T = idx.shape
+    frame_valid = jnp.arange(T)[None, :] < mel_lens[:, None]      # (B, T)
+    text_pos = jnp.arange(L)[None, :]
+    onehot = idx[:, :, None] == text_pos[:, None, :]              # (B, T, L)
+    counts = jnp.sum(onehot & frame_valid[:, :, None], axis=1)
+    counts = jnp.where(text_pos < src_lens[:, None], counts, 0)
+    return counts.astype(jnp.int32)

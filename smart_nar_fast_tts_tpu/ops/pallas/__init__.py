@@ -38,6 +38,8 @@ def pallas_interpret() -> bool:
 from .attention import flash_attention  # noqa: E402
 from .upsample import gaussian_upsample_banded  # noqa: E402
 from .stft import fused_log_mel  # noqa: E402
+from .alignment import alignment_attention  # noqa: E402
 
 __all__ = ["use_pallas", "pallas_interpret", "flash_attention",
-           "gaussian_upsample_banded", "fused_log_mel"]
+           "gaussian_upsample_banded", "fused_log_mel",
+           "alignment_attention"]

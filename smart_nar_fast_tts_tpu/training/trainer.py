@@ -53,7 +53,8 @@ class Trainer:
                              devices=devices)
         self.mesh = mesh
         self.model = FastSpeech2Align(cfg.model, cfg.preprocess)
-        self.loss = FastSpeech2Loss(cfg.preprocess)
+        self.loss = FastSpeech2Loss(cfg.preprocess,
+                                    guided_sigma=cfg.model.guided_sigma)
         self.tx = make_optimizer(cfg.train.optimizer,
                                  cfg.model.transformer.encoder_hidden)
         self.train_step = make_train_step(

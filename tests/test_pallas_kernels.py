@@ -182,3 +182,113 @@ class TestFusedLogMel:
         np.testing.assert_allclose(np.asarray(mel),
                                    np.log(cfg.compression_clip), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(en), 0.0, atol=1e-6)
+
+
+class TestAlignmentAttention:
+    def _data(self, B=2, H=2, T=50, L=13, D=16, seed=0):
+        from smart_nar_fast_tts_tpu.ops.pallas.alignment import (
+            _alignment_reference, alignment_attention)
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(B, H, T, D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, L, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, L, D).astype(np.float32))
+        src_lens = jnp.asarray(rng.randint(2, L + 1, B), jnp.int32)
+        mel_lens = jnp.asarray(rng.randint(5, T + 1, B), jnp.int32)
+        valid = jnp.asarray(np.arange(L)[None, :]
+                            < np.asarray(src_lens)[:, None])
+        return (alignment_attention, _alignment_reference,
+                q, k, v, valid, src_lens, mel_lens)
+
+    def test_matches_reference(self):
+        fused, oracle, q, k, v, valid, sl, ml = self._data()
+        out_r, idx_r, g_r = oracle(q, k, v, valid, sl, ml, 0.2)
+        out, idx, g = fused(q, k, v, valid, sl, ml, 0.2, 16, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_r),
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_guided_numerator_matches_loss_fn(self):
+        # guided_num / pair_count must equal guided_attention_loss / alpha
+        from smart_nar_fast_tts_tpu.models.loss import guided_attention_loss
+        from smart_nar_fast_tts_tpu.models.layers import masked_softmax
+        fused, _, q, k, v, valid, sl, ml = self._data(seed=3)
+        _, _, g = fused(q, k, v, valid, sl, ml, 0.2, 16, True)
+        scores = (jnp.einsum("bhqd,bhkd->bhqk", q, k)
+                  / np.sqrt(q.shape[-1]))
+        p = masked_softmax(scores, valid[:, None, None, :])
+        want = guided_attention_loss(p[:, 0], sl, ml, 0.2, alpha=1.0)
+        pair_count = jnp.sum(sl * ml)
+        got = jnp.sum(g) / pair_count
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    def test_gradients_match_reference(self):
+        fused, oracle, q, k, v, valid, sl, ml = self._data(
+            B=1, H=1, T=20, L=8, D=8, seed=4)
+
+        def loss_fused(q, k, v):
+            out, _, g = fused(q, k, v, valid, sl, ml, 0.2, 16, True)
+            return jnp.sum(out ** 2) + jnp.sum(g)
+
+        def loss_ref(q, k, v):
+            out, _, g = oracle(q, k, v, valid, sl, ml, 0.2)
+            return jnp.sum(out ** 2) + jnp.sum(g)
+
+        ga = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+class TestFusedAlignmentTraining:
+    """Training forward + loss with the fused alignment path must match the
+    XLA full-map path: same duration targets, same loss values."""
+
+    def test_training_loss_parity(self, monkeypatch):
+        from smart_nar_fast_tts_tpu.config import (
+            FeatureStats, ModelConfig, PreprocessConfig)
+        from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
+                                                   FastSpeech2Loss)
+
+        cfg = ModelConfig()
+        pre = PreprocessConfig(stats=FeatureStats(
+            pitch_min=71.0, pitch_max=799.8, pitch_mean=207.4,
+            pitch_std=46.5, energy_min=0.018, energy_max=314.9,
+            energy_mean=37.3, energy_std=25.1))
+        model = FastSpeech2Align(cfg, pre)
+        loss_fn = FastSpeech2Loss(pre)
+
+        rng = np.random.RandomState(0)
+        B, L, T = 2, 14, 48
+        texts = jnp.asarray(rng.randint(2, 300, (B, L)), jnp.int32)
+        src_lens = jnp.asarray([14, 9], jnp.int32)
+        mels = jnp.asarray(rng.randn(B, T, 80).astype(np.float32))
+        mel_lens = jnp.asarray([48, 31], jnp.int32)
+        pitch = jnp.asarray(rng.randn(B, T).astype(np.float32))
+        energy = jnp.asarray(rng.randn(B, T).astype(np.float32))
+
+        kwargs = dict(mels=mels, mel_lens=mel_lens, p_targets=pitch,
+                      e_targets=energy, deterministic=True)
+        variables = model.init(jax.random.PRNGKey(0), texts, src_lens,
+                               **kwargs)
+
+        monkeypatch.delenv("SMART_TTS_PALLAS", raising=False)
+        ref, _ = model.apply(variables, texts, src_lens,
+                             mutable=["batch_stats"], **kwargs)
+        monkeypatch.setenv("SMART_TTS_PALLAS", "interpret")
+        got, _ = model.apply(variables, texts, src_lens,
+                             mutable=["batch_stats"], **kwargs)
+
+        assert ref.alignments is not None and got.alignments is None
+        assert got.guided_numerators is not None
+        np.testing.assert_array_equal(np.asarray(got.duration_targets),
+                                      np.asarray(ref.duration_targets))
+
+        l_ref = loss_fn(ref, mels, pitch, energy)
+        l_got = loss_fn(got, mels, pitch, energy)
+        np.testing.assert_allclose(float(l_got.attention),
+                                   float(l_ref.attention), rtol=1e-5)
+        np.testing.assert_allclose(float(l_got.total), float(l_ref.total),
+                                   rtol=1e-4)
