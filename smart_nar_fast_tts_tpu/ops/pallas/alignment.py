@@ -76,7 +76,10 @@ def _kernel(ilen_ref, olen_ref, q_ref, k_ref, v_ref, mask_ref,
     mask = mask_ref[0, 0].astype(jnp.float32)          # (1, L)
     L = k.shape[0]
 
+    # HIGHEST: bf16x3 passes ≈ fp32 scores — the argmax feeds duration
+    # targets and near-ties must resolve as in the f32 oracle
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)  # (bt, L)
     s = jnp.where(mask > 0, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -94,8 +97,11 @@ def _kernel(ilen_ref, olen_ref, q_ref, k_ref, v_ref, mask_ref,
     ilen = ilen_ref[b].astype(jnp.float32)
     olen = olen_ref[b].astype(jnp.float32)
     t0 = (tb * block_t).astype(jnp.float32)
-    t_pos = t0 + jax.lax.broadcasted_iota(jnp.float32, (p.shape[0], L), 0)
-    n_pos = jax.lax.broadcasted_iota(jnp.float32, (p.shape[0], L), 1)
+    # Mosaic iota must be integer-typed; cast after
+    t_pos = t0 + jax.lax.broadcasted_iota(
+        jnp.int32, (p.shape[0], L), 0).astype(jnp.float32)
+    n_pos = jax.lax.broadcasted_iota(
+        jnp.int32, (p.shape[0], L), 1).astype(jnp.float32)
     w = 1.0 - jnp.exp(-((n_pos / ilen - t_pos / olen) ** 2)
                       * inv_two_sigma2)
     pair_valid = ((t_pos < olen) & (n_pos < ilen)).astype(jnp.float32)

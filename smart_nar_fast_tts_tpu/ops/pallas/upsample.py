@@ -31,7 +31,9 @@ def _banded_kernel(cmin_ref, cmax_ref, x_ref, c_ref, valid_ref, o_ref, *,
     D = x_ref.shape[-1]
 
     t0 = (tb * block_t).astype(jnp.float32)
-    t = t0 + jax.lax.broadcasted_iota(jnp.float32, (block_l, block_t), 1)
+    # Mosaic iota must be integer-typed; cast after
+    t = t0 + jax.lax.broadcasted_iota(
+        jnp.int32, (block_l, block_t), 1).astype(jnp.float32)
 
     def body(lb, carry):
         num, den = carry
@@ -48,11 +50,15 @@ def _banded_kernel(cmin_ref, cmax_ref, x_ref, c_ref, valid_ref, o_ref, *,
             dist2 = (t - c_blk) ** 2                              # (bl, bt)
             w = jnp.exp(-inv_sigma2 * dist2) * v_blk
             ones = jnp.ones((w.shape[0], 1), jnp.float32)
+            # HIGHEST: keep f32-faithful output under the default f32
+            # compute policy (plain MXU dots would bf16-round w·x)
             den = den + jax.lax.dot_general(
                 w, ones, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)               # (bt, 1)
             num = num + jax.lax.dot_general(
                 w, x_blk.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)               # (bt, D)
             return num, den
 
