@@ -161,6 +161,12 @@ class Trainer:
                                        val_batcher.batches(0), step, total,
                                        val_writer)
                         val_writer.message(msg)
+                        # reference evaluate also synthesizes one val
+                        # sample (upstream semantics, SURVEY.md §3.5)
+                        vb = next(iter(val_batcher.batches(0)), None)
+                        if vb is not None:
+                            self._synth_sample(state, vb[0], vb[1], step,
+                                               val_writer)
                     ckpt.save(state, {"epoch": epoch,
                                       "in_epoch": in_epoch})
                     if step >= total or self._stop:
@@ -184,11 +190,14 @@ class Trainer:
         ``utils/tools.py:96-150`` ``synth_one_sample``, sans vocoder)."""
         if not writer.enabled:
             return
+        import jax.numpy as jnp
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch.texts[:1], batch.src_lens[:1], mels=batch.mels[:1],
-            mel_lens=batch.mel_lens[:1], p_targets=batch.pitch[:1],
-            e_targets=batch.energy[:1], deterministic=True)
+            jnp.asarray(batch.texts[:1]), jnp.asarray(batch.src_lens[:1]),
+            mels=jnp.asarray(batch.mels[:1]),
+            mel_lens=jnp.asarray(batch.mel_lens[:1]),
+            p_targets=jnp.asarray(batch.pitch[:1]),
+            e_targets=jnp.asarray(batch.energy[:1]), deterministic=True)
         n = int(batch.mel_lens[0])
         mel_pred = np.asarray(out.postnet_mel[0, :n]).T
         mel_true = np.asarray(batch.mels[0, :n]).T
