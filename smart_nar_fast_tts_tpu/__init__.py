@@ -15,14 +15,17 @@ duration extraction + Gaussian upsampling), built for TPU hardware:
 
 Package layout:
     config    — typed configuration (mirrors the reference 3-YAML triplet)
-    text      — text frontend: symbols, cleaners, g2p
+    text      — text frontend: symbols, cleaners, numbers, g2p
     audio     — DSP: STFT/mel features, Griffin-Lim
-    ops       — core numeric ops: masks, attention, upsampling, durations
-    models    — acoustic model, losses, vocoders
-    data      — offline preprocessor + bucketed input pipeline
-    parallel  — mesh/sharding/partitioning helpers
-    training  — optimizer, train/eval loops, checkpointing
-    utils     — logging, plotting, misc host-side tools
+    ops       — core numeric ops (masks, upsampling, durations) and the
+                Pallas TPU kernels (ops.pallas)
+    models    — acoustic model (FastSpeech2Align), losses, torch converter
+    vocoder   — HiFi-GAN / MelGAN generators, discriminators, GAN losses
+    data      — offline preprocessor + bucketed input pipeline + native F0
+    parallel  — mesh/sharding helpers, ring (sequence-parallel) attention
+    training  — optimizer, train/eval/GAN loops, checkpointing, profiling
+    cli       — preprocess / train / synthesize / evaluate /
+                train_vocoder / import_checkpoint entry points
 """
 
 __version__ = "0.1.0"

@@ -227,6 +227,10 @@ class TrainConfig:
     # HiFi-GAN generator checkpoint for in-training audio logging
     # (reference synth_one_sample vocodes the sample, utils/tools.py:96-150)
     vocoder_ckpt: str | None = None
+    # optimizer steps folded into ONE compiled dispatch (lax.scan):
+    # amortizes host→device dispatch overhead; log/synth/val/save steps
+    # must be multiples of this.  1 = dispatch per step (reference-style).
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

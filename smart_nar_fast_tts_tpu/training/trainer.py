@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from ..config import Config
+from ..data.batch import Batch
 from ..data.dataset import AcousticDataset, BucketBatcher
 from ..models import FastSpeech2Align, FastSpeech2Loss
 from ..parallel import batch_sharding, make_mesh
@@ -26,7 +27,24 @@ from .logging import MetricWriter, format_losses, plot_mel
 from .profiling import StepProfiler, Throughput
 from .schedule import make_optimizer
 from .state import create_train_state
-from .step import make_eval_step, make_train_step
+from .step import make_eval_step, make_multi_step, make_train_step
+
+
+def _dispatch_groups(batch_iter, K: int):
+    """Group consecutive same-bucket-shape batches into runs of ≤ K for
+    multi-step dispatch; a shape change or epoch tail flushes early."""
+    buf = []
+    for item in batch_iter:
+        if buf and (item[0].texts.shape != buf[-1][0].texts.shape
+                    or item[0].mels.shape != buf[-1][0].mels.shape):
+            yield buf
+            buf = []
+        buf.append(item)
+        if len(buf) == K:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
 
 
 class Trainer:
@@ -63,6 +81,22 @@ class Trainer:
             mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, self.loss,
                                         mesh=self.mesh)
+        self.multi_step = None
+        K = cfg.train.steps_per_dispatch
+        if K > 1:
+            sc = cfg.train.step
+            for name in ("log_step", "synth_step", "val_step", "save_step"):
+                if getattr(sc, name) % K:
+                    raise ValueError(
+                        f"{name}={getattr(sc, name)} must be a multiple "
+                        f"of steps_per_dispatch={K}")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.multi_step = make_multi_step(
+                self.model, self.loss, num_steps=K,
+                grad_acc_steps=cfg.train.optimizer.grad_acc_step,
+                mesh=self.mesh)
+            self._multi_sharding = NamedSharding(
+                self.mesh, P(None, cfg.train.mesh_axis_names[0]))
         self._stop = False
         self._vocoder = None
         if cfg.train.vocoder_ckpt and jax.process_index() == 0:
@@ -130,49 +164,76 @@ class Trainer:
         prev = signal.signal(signal.SIGTERM, _on_sigterm)
 
         step = int(np.asarray(state.step))
+        K = max(1, self.cfg.train.steps_per_dispatch)
+
+        def cadence(losses, batch, ids):
+            if step % sc.log_step == 0:
+                if not np.isfinite(float(losses.total)):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {losses}")
+                train_writer.scalars(step, losses)
+                rates = throughput.snapshot()
+                if rates:
+                    train_writer.scalar_dict(step, rates)
+                train_writer.message(format_losses(step, total, losses))
+            if step % sc.synth_step == 0:
+                self._synth_sample(state, batch, ids, step, train_writer)
+            if step % sc.val_step == 0:
+                msg = evaluate(self.eval_step, state,
+                               val_batcher.batches(0), step, total,
+                               val_writer)
+                val_writer.message(msg)
+                # reference evaluate also synthesizes one val sample
+                # (upstream semantics, SURVEY.md §3.5)
+                vb = next(iter(val_batcher.batches(0)), None)
+                if vb is not None:
+                    self._synth_sample(state, vb[0], vb[1], step,
+                                       val_writer)
+            ckpt.save(state, {"epoch": epoch, "in_epoch": in_epoch})
+
         try:
             while step < total and not self._stop:
-                for batch, ids, raws in train_batcher.batches(
-                        epoch, skip=in_epoch):
-                    batch = jax.device_put(batch, sharding)
-                    state, losses = self.train_step(state, batch, rng)
-                    step += 1
-                    in_epoch += 1
-                    profiler.step(step)
-                    throughput.update(int(np.sum(np.asarray(
-                        batch.mel_lens))))
-
-                    if step % sc.log_step == 0:
-                        if not np.isfinite(float(losses.total)):
-                            raise FloatingPointError(
-                                f"non-finite loss at step {step}: "
-                                f"{losses}")
-                        train_writer.scalars(step, losses)
-                        rates = throughput.snapshot()
-                        if rates:
-                            train_writer.scalar_dict(step, rates)
-                        msg = format_losses(step, total, losses)
-                        train_writer.message(msg)
-                    if step % sc.synth_step == 0:
-                        self._synth_sample(state, batch, ids, step,
-                                           train_writer)
-                    if step % sc.val_step == 0:
-                        msg = evaluate(self.eval_step, state,
-                                       val_batcher.batches(0), step, total,
-                                       val_writer)
-                        val_writer.message(msg)
-                        # reference evaluate also synthesizes one val
-                        # sample (upstream semantics, SURVEY.md §3.5)
-                        vb = next(iter(val_batcher.batches(0)), None)
-                        if vb is not None:
-                            self._synth_sample(state, vb[0], vb[1], step,
-                                               val_writer)
-                    ckpt.save(state, {"epoch": epoch,
-                                      "in_epoch": in_epoch})
-                    if step >= total or self._stop:
+                done = False
+                for group in _dispatch_groups(
+                        train_batcher.batches(epoch, skip=in_epoch), K):
+                    if len(group) == K and self.multi_step is not None:
+                        # K optimizer steps in one compiled dispatch
+                        stacked = Batch(*[
+                            None if parts[0] is None else np.stack(parts)
+                            for parts in zip(*(g[0] for g in group))])
+                        stacked = jax.device_put(stacked,
+                                                 self._multi_sharding)
+                        state, losses_k = self.multi_step(state, stacked,
+                                                          rng)
+                        losses = jax.tree.map(lambda x: x[-1], losses_k)
+                        step += K
+                        in_epoch += K
+                        profiler.step(step)
+                        throughput.update(int(sum(
+                            np.sum(np.asarray(g[0].mel_lens))
+                            for g in group)))
+                        cadence(losses, group[-1][0], group[-1][1])
+                        done = step >= total or self._stop
+                    else:
+                        # single-step fallback (bucket-shape change or
+                        # tail-of-epoch remainder)
+                        for batch, ids, raws in group:
+                            bd = jax.device_put(batch, sharding)
+                            state, losses = self.train_step(state, bd, rng)
+                            step += 1
+                            in_epoch += 1
+                            profiler.step(step)
+                            throughput.update(int(np.sum(np.asarray(
+                                batch.mel_lens))))
+                            cadence(losses, batch, ids)
+                            if step >= total or self._stop:
+                                done = True
+                                break
+                    if done:
                         break
-                epoch += 1
-                in_epoch = 0
+                if not done:     # epoch exhausted normally
+                    epoch += 1
+                    in_epoch = 0
             if ckpt.latest_step() != step:
                 ckpt.save(state, {"epoch": epoch, "in_epoch": in_epoch},
                           force=True)

@@ -72,3 +72,43 @@ def test_fit_and_resume(tiny_cfg):
     import glob
     assert glob.glob(f"{tiny_cfg.train.log_path}/train/events*")
     assert glob.glob(f"{tiny_cfg.train.log_path}/val/events*")
+
+
+def test_fit_multi_step_dispatch(tiny_cfg, tmp_path):
+    """steps_per_dispatch>1: K optimizer steps per compiled dispatch with
+    bucket-shape grouping; cadence and checkpointing still line up."""
+    import dataclasses
+    from smart_nar_fast_tts_tpu.training import CheckpointManager, Trainer
+
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train,
+            ckpt_path=str(tmp_path / "ckpt"),
+            log_path=str(tmp_path / "log"),
+            step=dataclasses.replace(tiny_cfg.train.step, total_step=4,
+                                     log_step=2, synth_step=4, val_step=4,
+                                     save_step=2),
+            steps_per_dispatch=2))
+    trainer = Trainer(cfg)
+    assert trainer.multi_step is not None
+    trainer.fit(total_steps=4, restore=False)
+    mngr = CheckpointManager(cfg.train.ckpt_path)
+    assert mngr.latest_step() == 4
+    mngr.close()
+
+
+def test_dispatch_groups_shape_flush():
+    from smart_nar_fast_tts_tpu.training.trainer import _dispatch_groups
+
+    class B:
+        def __init__(self, shape):
+            self.texts = np.zeros(shape)
+            self.mels = np.zeros(shape + (4,))
+
+    items = [(B((2, 8)), ["a"], ["r"]), (B((2, 8)), ["b"], ["r"]),
+             (B((2, 16)), ["c"], ["r"]), (B((2, 16)), ["d"], ["r"]),
+             (B((2, 16)), ["e"], ["r"])]
+    groups = list(_dispatch_groups(iter(items), 2))
+    sizes = [len(g) for g in groups]
+    assert sizes == [2, 2, 1]          # shape change flushes, tail flushes
+    assert groups[1][0][1] == ["c"]

@@ -127,3 +127,49 @@ def test_eval_step_runs():
     eval_fn = make_eval_step(model, loss)
     losses = eval_fn(state, batch)
     assert np.isfinite(float(losses.total))
+
+
+def test_multi_step_matches_sequential_single_steps():
+    """One scanned step must equal the single-step path; K scanned steps
+    advance the same trajectory (Adam amplifies fp reassociation noise
+    chaotically, so cross-step comparisons are loose by design)."""
+    from smart_nar_fast_tts_tpu.training.step import make_multi_step
+
+    rng = jax.random.PRNGKey(5)
+
+    # exact: K=1 scan == single step
+    state_a, single, batch, model, loss = _tiny_setup()
+    state_a, losses_a = single(state_a, batch, rng)
+    state_b, _, _, _, _ = _tiny_setup()
+    multi1 = make_multi_step(model, loss, num_steps=1)
+    stacked1 = jax.tree.map(lambda x: x[None], batch)
+    state_b, losses_b = multi1(state_b, stacked1, rng)
+    assert int(state_b.step) == 1
+    np.testing.assert_allclose(float(losses_b.total[0]),
+                               float(losses_a.total), rtol=1e-6)
+    # Adam (eps=1e-9) turns near-zero grads into ±lr updates, so fp
+    # reassociation between the scanned and plain compilations can flip
+    # isolated elements; bound by one LR step, bulk must match tightly
+    # (same criterion as test_train_step_sharded_matches_single_device)
+    lr = 16 ** -0.5 * 10 ** -1.5
+    d = np.array(jax.tree.leaves(jax.tree.map(
+        lambda a, b: np.max(np.abs(np.asarray(a) - np.asarray(b))),
+        state_a.params, state_b.params)))
+    assert d.max() < 2 * lr
+    assert np.median(d) < 1e-5
+
+    # trajectory: K=3 in one dispatch stays on the same loss path
+    K = 3
+    state_c, single2, _, _, _ = _tiny_setup()
+    seq_losses = []
+    for _ in range(K):
+        state_c, l = single2(state_c, batch, rng)
+        seq_losses.append(float(l.total))
+    state_d, _, _, _, _ = _tiny_setup()
+    multi = make_multi_step(model, loss, num_steps=K)
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), batch)
+    state_d, losses_d = multi(state_d, stacked, rng)
+    assert int(state_d.step) == K
+    np.testing.assert_allclose(np.asarray(losses_d.total),
+                               np.asarray(seq_losses), rtol=5e-2)
