@@ -23,6 +23,8 @@ def main(argv=None) -> None:
                         metavar="CORPUS_DIR",
                         help="run metadata.csv → .lab/.wav corpus prep "
                              "first (LJSpeech layout)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="parallel utterance workers (process pool)")
     args = parser.parse_args(argv)
 
     with open(args.config) as f:
@@ -31,7 +33,8 @@ def main(argv=None) -> None:
     if args.prepare_align:
         from ..data.ljspeech import prepare_align
         prepare_align(args.prepare_align, cfg.preprocess)
-    out = Preprocessor(cfg.preprocess).build_from_path()
+    out = Preprocessor(cfg.preprocess).build_from_path(
+        num_workers=args.workers)
     print(f"preprocessed {len(out)} utterances "
           f"→ {cfg.preprocess.preprocessed_path}")
 

@@ -130,12 +130,9 @@ class Preprocessor:
                 remove_outlier(pitch), remove_outlier(energy), mel.shape[1])
 
     # ---- corpus ---------------------------------------------------------
-    def build_from_path(self, seed: int = 1234) -> list[str]:
-        out: list[str] = []
-        n_frames = 0
-        pitch_scaler, energy_scaler = RunningScaler(), RunningScaler()
+    def _tasks(self) -> tuple[dict[str, int], list[tuple[str, str]]]:
         speakers: dict[str, int] = {}
-
+        tasks: list[tuple[str, str]] = []
         for i, speaker in enumerate(sorted(os.listdir(self.in_dir))):
             spk_dir = os.path.join(self.in_dir, speaker)
             if not os.path.isdir(spk_dir):
@@ -147,16 +144,42 @@ class Preprocessor:
                 basename = wav_name[:-4]
                 tg_path = os.path.join(self.out_dir, "TextGrid", speaker,
                                        f"{basename}.TextGrid")
-                if not os.path.exists(tg_path):
-                    continue
-                ret = self.process_utterance(speaker, basename)
-                if ret is None:
-                    continue
-                info, pitch, energy, n = ret
-                out.append(info)
-                pitch_scaler.partial_fit(pitch)
-                energy_scaler.partial_fit(energy)
-                n_frames += n
+                if os.path.exists(tg_path):
+                    tasks.append((speaker, basename))
+        return speakers, tasks
+
+    def build_from_path(self, seed: int = 1234,
+                        num_workers: int = 1) -> list[str]:
+        """Offline pass over the corpus.  ``num_workers > 1`` fans
+        utterances out over a process pool (the reference is strictly
+        serial, ``preprocessor.py:66-89``); the corpus-wide statistics are
+        accumulated in deterministic task order either way, so parallel
+        and serial runs produce identical ``stats.json``."""
+        out: list[str] = []
+        n_frames = 0
+        pitch_scaler, energy_scaler = RunningScaler(), RunningScaler()
+        speakers, tasks = self._tasks()
+
+        if num_workers > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            ctx = mp.get_context("spawn")
+            with ProcessPoolExecutor(
+                    max_workers=num_workers, mp_context=ctx,
+                    initializer=_init_worker,
+                    initargs=(self.cfg,)) as ex:
+                results = list(ex.map(_run_task, tasks, chunksize=4))
+        else:
+            results = [self.process_utterance(s, b) for s, b in tasks]
+
+        for ret in results:
+            if ret is None:
+                continue
+            info, pitch, energy, n = ret
+            out.append(info)
+            pitch_scaler.partial_fit(pitch)
+            energy_scaler.partial_fit(energy)
+            n_frames += n
 
         pitch_mean = pitch_scaler.mean if self.cfg.pitch_normalization else 0.0
         pitch_std = pitch_scaler.scale if self.cfg.pitch_normalization else 1.0
@@ -220,3 +243,28 @@ def _phoneme_average(values: np.ndarray, durations: list[int],
             out[i] = values[pos:pos + d].mean()
         pos += d
     return out
+
+
+# ---------------------------------------------------------------------------
+# process-pool workers (module-level for spawn pickling)
+# ---------------------------------------------------------------------------
+
+_WORKER_PRE: "Preprocessor | None" = None
+
+
+def _init_worker(cfg: PreprocessConfig) -> None:
+    """Pin workers to the CPU backend (offline feature extraction is a
+    host-side job; N workers sharing one accelerator would contend) and
+    build one Preprocessor per process."""
+    global _WORKER_PRE
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _WORKER_PRE = Preprocessor(cfg)
+
+
+def _run_task(task: tuple[str, str]):
+    speaker, basename = task
+    return _WORKER_PRE.process_utterance(speaker, basename)

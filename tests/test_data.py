@@ -308,3 +308,33 @@ def test_bucket_batcher_mid_epoch_resume(corpus):
     assert resumed == full[2:]
     # skipping the whole epoch yields nothing
     assert list(batcher.batches(epoch=2, skip=len(full))) == []
+
+
+def test_preprocessor_parallel_matches_serial(tmp_path):
+    """num_workers=2 must write byte-identical stats to the serial path."""
+    import json
+
+    root = tmp_path / "par"
+    root.mkdir()
+    in_dir, out_dir = _make_corpus(root, n_utts=4)
+    cfg = PreprocessConfig(
+        data_path=str(in_dir), preprocessed_path=str(out_dir),
+        val_size=1, audio=AudioConfig())
+    Preprocessor(cfg).build_from_path(seed=7, num_workers=2)
+    par_stats = json.load(open(out_dir / "stats.json"))
+
+    root2 = tmp_path / "ser"
+    root2.mkdir()
+    in_dir2, out_dir2 = _make_corpus(root2, n_utts=4)
+    cfg2 = PreprocessConfig(
+        data_path=str(in_dir2), preprocessed_path=str(out_dir2),
+        val_size=1, audio=AudioConfig())
+    Preprocessor(cfg2).build_from_path(seed=7, num_workers=1)
+    ser_stats = json.load(open(out_dir2 / "stats.json"))
+
+    np.testing.assert_allclose(par_stats["pitch"], ser_stats["pitch"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(par_stats["energy"], ser_stats["energy"],
+                               rtol=1e-9)
+    assert (out_dir / "train.txt").read_text() \
+        == (out_dir2 / "train.txt").read_text()
