@@ -121,3 +121,38 @@ def test_g2p_lexicon_lookup(tmp_path):
     g2p = G2P(str(lex))
     out = g2p("hello world")
     assert out == "{HH AH0 L OW1 W ER1 L D}"
+
+
+# ---------------------------------------------------------------------------
+# CMUdict parser (reference text/cmudict.py)
+# ---------------------------------------------------------------------------
+
+def test_cmudict_valid_symbols():
+    from smart_nar_fast_tts_tpu.text.cmudict import VALID_SYMBOLS
+    assert len(VALID_SYMBOLS) == 84
+    assert "AA0" in VALID_SYMBOLS and "ZH" in VALID_SYMBOLS
+    # stress variants only on vowels
+    assert "B0" not in VALID_SYMBOLS
+
+
+def test_cmudict_parse_and_lexicon():
+    from smart_nar_fast_tts_tpu.text.cmudict import CMUDict
+    from smart_nar_fast_tts_tpu.text.g2p import G2P
+    lines = [
+        ";;; comment line",
+        "HELLO  HH AH0 L OW1",
+        "HELLO(1)  HH EH0 L OW1",
+        "WORLD  W ER1 L D",
+        "BAD-ENTRY  QQ XX",          # invalid phones dropped
+        "MALFORMED LINE NO DOUBLESPACE",
+    ]
+    d = CMUDict(lines)
+    assert len(d) == 2
+    assert d.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+    assert d.lookup("absent") is None
+    # keep_ambiguous=False drops multi-pronunciation words
+    assert CMUDict(lines, keep_ambiguous=False).lookup("hello") is None
+
+    g2p = G2P()
+    g2p.lexicon = d.as_lexicon()          # first pronunciation wins
+    assert g2p("hello world") == "{HH AH0 L OW1 W ER1 L D}"
