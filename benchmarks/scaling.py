@@ -72,7 +72,10 @@ def measure_rate(mesh, batch_size: int, L: int = 64, T: int = 512,
         pitch=jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
         energy=jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
         speakers=jnp.zeros((B,), jnp.int32))
-    batch = jax.device_put(batch, batch_sharding(mesh))
+    if mesh.devices.size > 1:
+        batch = jax.device_put(batch, batch_sharding(mesh))
+    else:
+        batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
 
     state, losses = step_fn(state, batch, key)          # compile

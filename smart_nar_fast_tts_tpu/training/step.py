@@ -46,6 +46,18 @@ def _forward_loss(model, loss_fn, params, batch_stats, batch: Batch,
     return losses.total, (losses, new_stats, out)
 
 
+def _trivial_mesh(mesh: Optional[Mesh]) -> bool:
+    """True when explicit in/out shardings would be pure overhead.
+
+    On a 1-device mesh every NamedSharding is equivalent to no sharding,
+    but routing arrays through committed NamedShardings is not free — on
+    remote-attached single-chip runtimes it forces per-dispatch buffer
+    round-trips (measured 27.7 s vs 3.1 ms per train step on a tunneled
+    chip).  Plain ``jax.jit`` compiles the identical program there.
+    """
+    return mesh is None or mesh.devices.size == 1
+
+
 def _make_step_fn(model, loss_fn, grad_acc_steps: int) -> Callable:
     """The unjitted ``(state, batch, rng) -> (state, losses)`` body shared
     by :func:`make_train_step` and :func:`make_multi_step`."""
@@ -101,7 +113,7 @@ def make_train_step(model, loss_fn, grad_acc_steps: int = 1,
     ``train.py:84-86``).
     """
     step = _make_step_fn(model, loss_fn, grad_acc_steps)
-    if mesh is None:
+    if _trivial_mesh(mesh):
         return jax.jit(step, donate_argnums=0)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(data_axis))
@@ -136,7 +148,7 @@ def make_multi_step(model, loss_fn, num_steps: int,
 
         return jax.lax.scan(body, state, batches, length=num_steps)
 
-    if mesh is None:
+    if _trivial_mesh(mesh):
         return jax.jit(multi, donate_argnums=0)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, data_axis))
@@ -155,7 +167,7 @@ def make_eval_step(model, loss_fn, mesh: Optional[Mesh] = None,
             None, False)
         return losses
 
-    if mesh is None:
+    if _trivial_mesh(mesh):
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(data_axis))

@@ -91,12 +91,15 @@ class Trainer:
                         f"{name}={getattr(sc, name)} must be a multiple "
                         f"of steps_per_dispatch={K}")
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from .step import _trivial_mesh
             self.multi_step = make_multi_step(
                 self.model, self.loss, num_steps=K,
                 grad_acc_steps=cfg.train.optimizer.grad_acc_step,
                 mesh=self.mesh)
-            self._multi_sharding = NamedSharding(
-                self.mesh, P(None, cfg.train.mesh_axis_names[0]))
+            # None on 1-device meshes: committed NamedShardings cost extra
+            # per-dispatch bookkeeping there for zero layout benefit
+            self._multi_sharding = None if _trivial_mesh(self.mesh) else \
+                NamedSharding(self.mesh, P(None, cfg.train.mesh_axis_names[0]))
         self._stop = False
         self._vocoder = None
         if cfg.train.vocoder_ckpt and jax.process_index() == 0:
@@ -157,7 +160,9 @@ class Trainer:
         train_batcher = self.make_batcher("train.txt")
         val_batcher = self.make_batcher("val.txt")
         rng = jax.random.PRNGKey(c.train.seed)
-        sharding = batch_sharding(self.mesh)
+        from .step import _trivial_mesh
+        sharding = None if _trivial_mesh(self.mesh) \
+            else batch_sharding(self.mesh)
 
         def _on_sigterm(signum, frame):
             self._stop = True

@@ -167,7 +167,10 @@ def make_vocoder_train_step(generator: HiFiGANGenerator,
                                  mel=mel, gen_total=g_total)
         return new_state, metrics
 
-    if mesh is None:
+    from .step import _trivial_mesh
+    if _trivial_mesh(mesh):
+        # 1-device meshes compile the same program under plain jit, without
+        # the committed-NamedSharding dispatch overhead (see step.py)
         return jax.jit(step, donate_argnums=0)
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
