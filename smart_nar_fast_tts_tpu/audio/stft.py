@@ -126,13 +126,9 @@ def istft(magnitude: jnp.ndarray, phase: jnp.ndarray,
     return sig[:, pad:n - pad]
 
 
-def griffin_lim(magnitude: jnp.ndarray, cfg: MelSpectrogramConfig,
-                n_iters: int = 30, key: jax.Array | None = None
-                ) -> jnp.ndarray:
-    """Phase reconstruction by alternating projections
-    (reference audio/audio_processing.py:66-81)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _griffin_lim_jit(magnitude: jnp.ndarray, cfg: MelSpectrogramConfig,
+                     n_iters: int, key: jax.Array) -> jnp.ndarray:
     phase = jax.random.uniform(key, magnitude.shape, minval=-np.pi,
                                maxval=np.pi)
 
@@ -144,3 +140,22 @@ def griffin_lim(magnitude: jnp.ndarray, cfg: MelSpectrogramConfig,
 
     phase = jax.lax.fori_loop(0, n_iters, body, phase)
     return istft(magnitude, phase, cfg)
+
+
+def griffin_lim(magnitude: jnp.ndarray, cfg: MelSpectrogramConfig,
+                n_iters: int = 30, key: jax.Array | None = None
+                ) -> jnp.ndarray:
+    """Phase reconstruction by alternating projections
+    (reference audio/audio_processing.py:66-81).
+
+    Runs as ONE jitted program (loop + final iSTFT): eager per-op dispatch
+    is both slow on a remote-attached chip and exercises standalone complex
+    kernels some TPU runtimes lack.  Needs ≥4 frames so the reflect pad in
+    the re-analysis framing is valid (pad n_fft//2 ≤ signal length − 1).
+    """
+    if magnitude.shape[-1] < 4:
+        raise ValueError(
+            f"griffin_lim needs ≥4 frames, got {magnitude.shape[-1]}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _griffin_lim_jit(magnitude, cfg, n_iters, key)

@@ -14,10 +14,11 @@ import argparse
 
 import numpy as np
 
-from ._args import add_config_args, load_config
+from ._args import add_config_args, enable_compilation_cache, load_config
 
 
 def main(argv=None) -> None:
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     parser.add_argument("--restore_step", type=int, default=None)

@@ -25,12 +25,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ._args import add_config_args, load_config
+from ._args import add_config_args, enable_compilation_cache, load_config
 from ..text import text_to_sequence
 from ..text.g2p import G2P
 
 
 def main(argv=None) -> None:
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     parser.add_argument("--text", type=str, required=True)
@@ -89,7 +90,9 @@ def main(argv=None) -> None:
         max_mel_len=cfg.model.max_seq_len,
         p_control=args.pitch_control, e_control=args.energy_control,
         d_control=args.duration_control, deterministic=True)
-    n = max(int(out.mel_lens[0]), 1)
+    # ≥4 frames so the Griffin-Lim fallback's reflect-pad framing is valid
+    # even for a random-init model predicting ~zero duration
+    n = max(int(out.mel_lens[0]), 4)
     mel = np.asarray(out.postnet_mel[0, :n])          # (T, n_mels)
 
     os.makedirs(cfg.train.result_path, exist_ok=True)

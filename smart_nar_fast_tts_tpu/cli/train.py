@@ -16,11 +16,12 @@ import argparse
 
 import jax
 
-from ._args import add_config_args, load_config
+from ._args import add_config_args, enable_compilation_cache, load_config
 from ..training.trainer import Trainer
 
 
 def main(argv=None) -> None:
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
     parser.add_argument("--restore_step", type=int, default=None,

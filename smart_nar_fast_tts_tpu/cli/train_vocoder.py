@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main(argv=None) -> None:
+    from ._args import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--wav_dir", type=str, required=True)
     parser.add_argument("--steps", type=int, default=10000)
