@@ -22,6 +22,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -58,7 +59,10 @@ class HiFiGANConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "HiFiGANConfig":
-        keep = {k: d[k] for k in (
+        def _tup(v):  # JSON lists → tuples: keeps the config hashable
+            return tuple(_tup(x) for x in v) if isinstance(v, (list, tuple)) \
+                else v
+        keep = {k: _tup(d[k]) for k in (
             "resblock", "upsample_rates", "upsample_kernel_sizes",
             "upsample_initial_channel", "resblock_kernel_sizes",
             "resblock_dilation_sizes") if k in d}
@@ -183,6 +187,13 @@ class HiFiGANGenerator(nn.Module):
         return jnp.tanh(x)[..., 0]
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_apply(generator: HiFiGANGenerator):
+    # one jit wrapper per generator config: `jax.jit(generator.apply)` at
+    # every call would rebuild the wrapper and re-trace each time
+    return jax.jit(generator.apply)
+
+
 def hifigan_infer(generator: HiFiGANGenerator, variables, mels,
                   mel_lens=None, max_wav_value: float = 32768.0):
     """Batched mel → waveform list (reference ``utils/model.py:70-88``):
@@ -190,7 +201,7 @@ def hifigan_infer(generator: HiFiGANGenerator, variables, mels,
     item to ``mel_lens[i]·hop`` samples.  Returns float32 waveforms in
     [-max_wav_value, max_wav_value] (callers convert to int16 at IO)."""
     mels = jnp.asarray(mels)
-    wavs = jax.jit(generator.apply)(variables, mels)
+    wavs = _cached_apply(generator)(variables, mels)
     hop = generator.config.hop_length
     import numpy as np
     wavs = np.asarray(wavs) * max_wav_value

@@ -139,6 +139,33 @@ def test_hifigan_infer_trims_and_scales():
     assert np.max(np.abs(wavs[0])) <= 32768.0
 
 
+def test_infer_reuses_one_jit_wrapper():
+    # repeated hifigan_infer calls must hit the same compiled program:
+    # a fresh jax.jit(generator.apply) per call would re-trace every time
+    from smart_nar_fast_tts_tpu.vocoder.hifigan import _cached_apply
+    cfg = HiFiGANConfig(upsample_initial_channel=16, n_mels=4)
+    gen = HiFiGANGenerator(cfg)
+    import jax
+    mel = jnp.zeros((1, 8, 4))
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    hifigan_infer(gen, variables, mel)
+    wrapper = _cached_apply(gen)
+    hifigan_infer(gen, variables, mel)
+    assert _cached_apply(HiFiGANGenerator(cfg)) is wrapper  # config-keyed
+
+
+def test_from_dict_json_lists_stay_hashable():
+    cfg = HiFiGANConfig.from_dict({
+        "resblock": "1", "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 512,
+        "resblock_kernel_sizes": [3, 7, 11],
+        "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        "num_mels": 80, "sampling_rate": 22050})
+    assert cfg == HiFiGANConfig()
+    hash(cfg)  # lru_cache on _cached_apply requires this
+
+
 def test_resblock2_variant():
     cfg = HiFiGANConfig(resblock="2", upsample_initial_channel=16,
                         n_mels=4, resblock_kernel_sizes=(3, 5),
