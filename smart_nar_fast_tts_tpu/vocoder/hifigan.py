@@ -49,6 +49,10 @@ class HiFiGANConfig:
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     n_mels: int = 80
     sampling_rate: int = 22050
+    # "bfloat16" runs the conv stack on the MXU at half the HBM traffic
+    # (params stay float32; the final conv+tanh stays float32 for audio
+    # fidelity).  Default float32 matches torch-checkpoint parity.
+    compute_dtype: str = "float32"
 
     @property
     def hop_length(self) -> int:
@@ -79,13 +83,15 @@ class Conv1d(nn.Module):
     features: int
     kernel_size: int
     dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = (self.kernel_size - 1) * self.dilation // 2
         return nn.Conv(self.features, (self.kernel_size,),
                        kernel_dilation=(self.dilation,),
-                       padding=[(pad, pad)], name="conv")(x)
+                       padding=[(pad, pad)], dtype=self.dtype,
+                       name="conv")(x)
 
 
 class ConvTranspose1d(nn.Module):
@@ -100,6 +106,7 @@ class ConvTranspose1d(nn.Module):
     features: int
     kernel_size: int
     stride: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -111,11 +118,12 @@ class ConvTranspose1d(nn.Module):
             (k, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         y = lax.conv_general_dilated(
-            x, kernel, window_strides=(1,),
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1,),
             padding=[(k - 1 - p, k - 1 - p)],
             lhs_dilation=(u,),
             dimension_numbers=("NWC", "WIO", "NWC"))
-        return y + bias
+        return y + bias.astype(self.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -125,16 +133,17 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilations):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = Conv1d(self.channels, self.kernel_size, dilation=d,
-                       name=f"convs1_{i}")(h)
+                       dtype=self.dtype, name=f"convs1_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             h = Conv1d(self.channels, self.kernel_size, dilation=1,
-                       name=f"convs2_{i}")(h)
+                       dtype=self.dtype, name=f"convs2_{i}")(h)
             x = x + h
         return x
 
@@ -145,13 +154,14 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int] = (1, 3)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilations):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = Conv1d(self.channels, self.kernel_size, dilation=d,
-                       name=f"convs_{i}")(h)
+                       dtype=self.dtype, name=f"convs_{i}")(h)
             x = x + h
         return x
 
@@ -164,25 +174,29 @@ class HiFiGANGenerator(nn.Module):
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         c = self.config
+        dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
+                 else jnp.float32)
         res_cls = ResBlock1 if str(c.resblock) == "1" else ResBlock2
         n_kernels = len(c.resblock_kernel_sizes)
 
-        x = Conv1d(c.upsample_initial_channel, 7, name="conv_pre")(mel)
+        x = Conv1d(c.upsample_initial_channel, 7, dtype=dtype,
+                   name="conv_pre")(mel.astype(dtype))
         for i, (u, k) in enumerate(zip(c.upsample_rates,
                                        c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, name=f"ups_{i}")(x)
+            x = ConvTranspose1d(ch, k, u, dtype=dtype, name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):
-                y = res_cls(ch, rk, tuple(rd),
+                y = res_cls(ch, rk, tuple(rd), dtype=dtype,
                             name=f"resblocks_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
-            x = acc / n_kernels
+            x = acc / jnp.asarray(n_kernels, dtype)
         # upstream's final activation uses torch's default slope 0.01,
-        # not LRELU_SLOPE — kept for checkpoint fidelity
-        x = nn.leaky_relu(x, 0.01)
+        # not LRELU_SLOPE — kept for checkpoint fidelity.  Final conv +
+        # tanh in float32: the waveform's last linear map sets output SNR
+        x = nn.leaky_relu(x.astype(jnp.float32), 0.01)
         x = Conv1d(1, 7, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
