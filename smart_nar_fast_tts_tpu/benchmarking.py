@@ -1,0 +1,130 @@
+"""Honest wall-clock measurement of jitted programs on remote-attached chips.
+
+Naive ``block_until_ready`` timing is wrong on tunneled/remote device
+platforms (e.g. a TPU attached over a forwarding proxy): the client-side
+"ready" future can resolve at dispatch acknowledgement, tens of
+milliseconds before the device actually finishes executing, which inflates
+apparent throughput by orders of magnitude.  (Round-1 of this project
+measured a 41M-param forward at 0.13 ms that way — an impossible
+>2 PFLOP/s on one chip; the true number, measured as below, is ~250x
+slower.)
+
+The only client-observable event that *provably* follows device execution
+is a device->host transfer of a value data-dependent on the result.  So we:
+
+1. chain ``k`` workload iterations *inside one compiled program* via
+   ``lax.while_loop`` with a scalar carry that every iteration both
+   consumes (perturbing the inputs by a provably-zero-at-runtime amount
+   the compiler cannot fold away) and produces (reducing the output into
+   the carry) — this defeats CSE/DCE across iterations and any overlap
+   with dispatch;
+2. fetch the final scalar to host (4 bytes, so transfer time ~= RTT);
+3. time the program at two trip counts ``k_lo`` / ``k_hi`` and take the
+   slope ``(t_hi - t_lo) / (k_hi - k_lo)`` — the per-iteration device
+   execution time with RTT, dispatch, and fixed overheads cancelled.
+
+Usage::
+
+    def step(c):                     # one workload iteration
+        x = taint(inputs, c)         # data-depend on the carry
+        out = jitted_model_math(x)
+        return collapse(out, c)      # fold output into the carry
+
+    secs = seconds_per_iteration(step)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["taint", "collapse", "seconds_per_iteration", "Measurement"]
+
+
+def taint(x: jax.Array, carry: jax.Array) -> jax.Array:
+    """Perturb ``x`` by a runtime-zero amount data-dependent on ``carry``.
+
+    ``carry`` is a finite f32 scalar in practice, so ``carry < -1e30`` is
+    always False and the perturbation is exactly zero — but the compiler
+    cannot prove that, so every chained iteration's inputs depend on the
+    previous iteration's output and no two iterations can be CSE'd or
+    overlapped.
+    """
+    bump = (carry < jnp.float32(-1e30)).astype(x.dtype)
+    return x + bump
+
+
+def collapse(out, carry: jax.Array) -> jax.Array:
+    """Reduce an output pytree into the f32 scalar carry (min keeps both
+    operands live, so the output cannot be dead-code-eliminated)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    total = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in leaves)
+    return jnp.minimum(carry, total)
+
+
+class Measurement(dict):
+    """dict with attribute access for the fields below."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(k) from e
+
+
+def seconds_per_iteration(
+    step: Callable[[jax.Array], jax.Array],
+    *,
+    k_lo: int = 1,
+    k_hi: int = 33,
+    reps: int = 5,
+) -> Measurement:
+    """Measure the true device seconds per ``step`` iteration.
+
+    ``step``: f32 scalar carry -> f32 scalar carry, running one workload
+    iteration (see module docstring).  Returns a :class:`Measurement` with
+    ``seconds`` (the slope estimate, min over ``reps``), ``rtt_seconds``
+    (the k_lo-intercept estimate: dispatch + execution of k_lo iterations
+    + transfer), and the raw timing lists.
+    """
+
+    @jax.jit
+    def run(k, c0):
+        def cond(state):
+            i, _ = state
+            return i < k
+
+        def body(state):
+            i, c = state
+            return i + 1, step(c)
+
+        _, c = jax.lax.while_loop(cond, body, (jnp.int32(0), c0))
+        return c
+
+    c0 = jnp.float32(0.0)
+    k_lo_a, k_hi_a = jnp.int32(k_lo), jnp.int32(k_hi)
+    # compile + warm both trip counts (same executable: k is an operand)
+    float(run(k_lo_a, c0))
+    float(run(k_hi_a, c0))
+
+    t_lo, t_hi = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(k_lo_a, c0))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run(k_hi_a, c0))
+        t_hi.append(time.perf_counter() - t0)
+
+    secs = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
+    return Measurement(
+        seconds=secs,
+        rtt_seconds=min(t_lo),
+        t_lo=t_lo,
+        t_hi=t_hi,
+        k_lo=k_lo,
+        k_hi=k_hi,
+    )
