@@ -96,13 +96,32 @@ def measure(compute_dtype: str, n_iter: int, steps_per_dispatch: int) -> dict:
         batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
 
-    state, losses = step_fn(state, batch, key)          # compile
-    jax.block_until_ready(losses.total)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        state, losses = step_fn(state, batch, key)
-    jax.block_until_ready(losses.total)
-    dt = (time.perf_counter() - t0) / n_iter / K        # per optimizer step
+    # Honest timing on remote-attached chips (see benchmarking.py): the
+    # train state threads through successive dispatches, so fetching a
+    # scalar from the LAST dispatch's losses transitively awaits every
+    # preceding step's device execution.  Slope between two chain lengths
+    # cancels RTT and per-dispatch overhead.
+    # `state` must thread forward across runs — the step donates its input
+    # buffers, so re-dispatching from a stale state is a use-after-donate.
+    state_box = [state]
+
+    def run(n: int) -> float:
+        losses = None
+        for _ in range(n):
+            state_box[0], losses = step_fn(state_box[0], batch, key)
+        return float(jnp.sum(losses.total))
+
+    run(1)                                              # compile + warm
+    n_lo, n_hi = 1, 1 + n_iter
+    t_lo = t_hi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(n_lo)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(n_hi)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    dt = (t_hi - t_lo) / ((n_hi - n_lo) * K)            # per optimizer step
 
     frames_per_s_chip = batch_global * T / dt / max(1, n_dev)
     return {

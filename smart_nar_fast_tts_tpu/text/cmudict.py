@@ -3,10 +3,11 @@
 Parity with reference ``text/cmudict.py``: the 84-symbol ARPAbet inventory
 (``text/cmudict.py:6-12`` — 39 base phones with stress variants on vowels)
 plus a dictionary-file parser.  The reference's parser was unused at runtime
-(SURVEY.md §2.3); here it is wired as a first-class lexicon source for the
-synthesis G2P frontend (``CMUDict`` instances plug into ``text.g2p.G2P`` via
-``as_lexicon``), so cmudict-format files work anywhere a librispeech-style
-lexicon does.
+(SURVEY.md §2.3); here it is a first-class lexicon source: ``text.g2p``'s
+``read_lexicon`` auto-detects cmudict-format files (``.dict`` extension or
+``;;;`` header) and routes them through ``CMUDict.as_lexicon()``, so a raw
+cmudict-0.7b works anywhere a librispeech-style lexicon does — including
+``cfg.preprocess.lexicon_path`` consumed by the synthesize CLI.
 """
 
 from __future__ import annotations

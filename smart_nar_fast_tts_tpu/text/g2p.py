@@ -22,8 +22,17 @@ _word_re = re.compile(r"([,;.\-\?\!\s+])")
 
 
 def read_lexicon(path: str) -> dict[str, list[str]]:
-    """Parse a librispeech-style lexicon: ``WORD  PH1 PH2 ...`` per line.
-    First pronunciation wins (reference ``synthesize.py:20-29``)."""
+    """Parse a pronunciation lexicon: ``WORD  PH1 PH2 ...`` per line.
+    First pronunciation wins (reference ``synthesize.py:20-29``).
+
+    cmudict-format files (``.dict`` extension or a ``;;;`` comment header)
+    are auto-detected and routed through :class:`..cmudict.CMUDict`, which
+    strips ``WORD(1)`` alternate keys, comment lines, and entries with
+    out-of-inventory phones — so a raw cmudict-0.7b works anywhere a
+    librispeech-style lexicon does."""
+    if _is_cmudict_format(path):
+        from .cmudict import CMUDict
+        return CMUDict(path).as_lexicon()
     lexicon: dict[str, list[str]] = {}
     with open(path) as f:
         for line in f:
@@ -33,6 +42,19 @@ def read_lexicon(path: str) -> dict[str, list[str]]:
             word, phones = parts[0].lower(), parts[1:]
             lexicon.setdefault(word, phones)
     return lexicon
+
+
+def _is_cmudict_format(path: str) -> bool:
+    if path.endswith(".dict"):
+        return True
+    try:
+        with open(path, encoding="latin-1") as f:
+            for line in f:
+                if line.strip():
+                    return line.startswith(";;;")
+    except OSError:
+        pass
+    return False
 
 
 # ---------------------------------------------------------------------------

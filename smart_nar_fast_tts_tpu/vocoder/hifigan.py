@@ -34,6 +34,12 @@ from jax import lax
 LRELU_SLOPE = 0.1
 
 
+def _as_tuple(v):
+    """Recursively convert (possibly nested) lists to tuples."""
+    return tuple(_as_tuple(x) for x in v) if isinstance(v, (list, tuple)) \
+        else v
+
+
 @dataclass(frozen=True)
 class HiFiGANConfig:
     """Upstream V1 `config.json` subset actually consumed by the generator
@@ -54,6 +60,14 @@ class HiFiGANConfig:
     # fidelity).  Default float32 matches torch-checkpoint parity.
     compute_dtype: str = "float32"
 
+    def __post_init__(self):
+        # Coerce any list-valued Sequence fields to tuples so every
+        # construction path yields a hashable config (hifigan_infer caches
+        # its jit wrapper keyed on the generator, which hashes the config).
+        for name in ("upsample_rates", "upsample_kernel_sizes",
+                     "resblock_kernel_sizes", "resblock_dilation_sizes"):
+            object.__setattr__(self, name, _as_tuple(getattr(self, name)))
+
     @property
     def hop_length(self) -> int:
         out = 1
@@ -63,13 +77,10 @@ class HiFiGANConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "HiFiGANConfig":
-        def _tup(v):  # JSON lists → tuples: keeps the config hashable
-            return tuple(_tup(x) for x in v) if isinstance(v, (list, tuple)) \
-                else v
-        keep = {k: _tup(d[k]) for k in (
+        keep = {k: d[k] for k in (
             "resblock", "upsample_rates", "upsample_kernel_sizes",
             "upsample_initial_channel", "resblock_kernel_sizes",
-            "resblock_dilation_sizes") if k in d}
+            "resblock_dilation_sizes", "compute_dtype") if k in d}
         if "num_mels" in d:
             keep["n_mels"] = d["num_mels"]
         if "sampling_rate" in d:

@@ -156,3 +156,26 @@ def test_cmudict_parse_and_lexicon():
     g2p = G2P()
     g2p.lexicon = d.as_lexicon()          # first pronunciation wins
     assert g2p("hello world") == "{HH AH0 L OW1 W ER1 L D}"
+
+
+def test_cmudict_format_autodetected_by_g2p(tmp_path):
+    """A raw cmudict-format file works directly as cfg lexicon_path:
+    read_lexicon detects the ';;;' header (or .dict extension) and routes
+    through CMUDict, stripping WORD(1) keys and invalid entries."""
+    from smart_nar_fast_tts_tpu.text.g2p import G2P, read_lexicon
+    body = (";;; cmudict 0.7b style header\n"
+            "HELLO  HH AH0 L OW1\n"
+            "HELLO(1)  HH EH0 L OW1\n"
+            "WORLD  W ER1 L D\n"
+            "BAD  QQ XX\n")
+    by_header = tmp_path / "cmu.txt"
+    by_header.write_text(body)
+    lex = read_lexicon(str(by_header))
+    assert lex == {"hello": ["HH", "AH0", "L", "OW1"],
+                   "world": ["W", "ER1", "L", "D"]}
+    # extension alone is enough, even without the header
+    by_ext = tmp_path / "cmu.dict"
+    by_ext.write_text(body.split("\n", 1)[1])
+    assert read_lexicon(str(by_ext)) == lex
+    assert G2P(str(by_header))("hello world") == \
+        "{HH AH0 L OW1 W ER1 L D}"

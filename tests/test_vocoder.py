@@ -191,6 +191,61 @@ def test_v1_param_count():
     assert 13.8e6 < n < 14.1e6, n
 
 
+def test_direct_list_construction_stays_hashable():
+    # HiFiGANConfig built with Python lists (not via from_dict) must still
+    # be hashable: hifigan_infer's lru_cache hashes the generator config
+    cfg = HiFiGANConfig(upsample_rates=[8, 8, 2, 2],
+                        upsample_kernel_sizes=[16, 16, 4, 4],
+                        resblock_kernel_sizes=[3, 7, 11],
+                        resblock_dilation_sizes=[[1, 3, 5]] * 3)
+    assert cfg == HiFiGANConfig()
+    hash(cfg)
+
+
+def test_bfloat16_compute_path(oracle):
+    """compute_dtype='bfloat16' (reachable via from_dict) must track the
+    f32 forward closely — params stay f32, conv stack runs bf16."""
+    _, sd = oracle
+    d = {"upsample_initial_channel": 32, "num_mels": 8,
+         "compute_dtype": "bfloat16"}
+    cfg = HiFiGANConfig.from_dict(d)
+    assert cfg.compute_dtype == "bfloat16"
+    gen16 = HiFiGANGenerator(cfg)
+    gen32 = HiFiGANGenerator(SMALL)
+    variables = {"params": torch_to_flax(sd, SMALL)}
+
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((2, 23, 8)), jnp.float32)
+    w32 = np.asarray(gen32.apply(variables, mel))
+    w16 = np.asarray(gen16.apply(variables, mel))
+    assert w16.dtype == np.float32          # final conv+tanh stay f32
+    rel = np.abs(w16 - w32).mean() / (np.abs(w32).mean() + 1e-9)
+    assert rel < 0.08, rel
+
+
+def test_tensor_parallel_v1_full_topology():
+    """VERDICT.md Weak #5: TP must be exercised at real V1 scale (512→32
+    channels, 13.9M params) — a layout/divisibility bug at scale would
+    slip through the toy-sized test below."""
+    import jax
+    from smart_nar_fast_tts_tpu.parallel.mesh import make_mesh
+    from smart_nar_fast_tts_tpu.vocoder.sharding import shard_hifigan
+
+    cfg = HiFiGANConfig()                    # real V1: 512ch, 80 mels
+    gen = HiFiGANGenerator(cfg)
+    mel = jnp.asarray(
+        np.random.default_rng(11).standard_normal((1, 7, 80)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(2), mel)
+    want = gen.apply(variables, mel)
+
+    mesh = make_mesh((1, 8), ("data", "model"))
+    forward = shard_hifigan(gen, variables, mesh)
+    got = forward(mel)
+    assert got.shape == (1, 7 * 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+
 def test_tensor_parallel_matches_single_device():
     """Channel-sharded (TP) vocoder on a 2×4 data×model mesh produces the
     same waveform as the unsharded forward."""
