@@ -36,7 +36,7 @@ def main(argv=None) -> None:
     mngr.close()
     step = int(np.asarray(state.step))
 
-    batcher = trainer.make_batcher("val.txt")
+    batcher = trainer.make_batcher("val.txt", pad_short="mask")
     msg = evaluate(trainer.eval_step, state, batcher.batches(0), step,
                    cfg.train.step.total_step)
     print(msg)

@@ -122,8 +122,10 @@ class BucketBatcher:
     def __init__(self, dataset: AcousticDataset, batch_size: int,
                  text_buckets: Sequence[int], mel_buckets: Sequence[int],
                  seed: int = 1234, drop_last: bool = False,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1,
+                 pad_short: str = "repeat"):
         assert batch_size % num_hosts == 0
+        assert pad_short in ("repeat", "mask")
         self.ds = dataset
         self.global_batch = batch_size
         self.local_batch = batch_size // num_hosts
@@ -132,6 +134,7 @@ class BucketBatcher:
         self.mel_buckets = tuple(sorted(mel_buckets))
         self.seed = seed
         self.drop_last = drop_last
+        self.pad_short = pad_short
         self._assignments = self._assign()
 
     def _item_lengths(self, idx: int) -> tuple[int, int]:
@@ -190,12 +193,21 @@ class BucketBatcher:
             yield self._collate(spec, chunk)
 
     def _collate(self, spec: BucketSpec, chunk: np.ndarray):
-        # host slice of the global batch (short batches repeat-pad so every
-        # host sees identical shapes; repeated items only affect stats, not
-        # training correctness with mean losses)
+        # host slice of the global batch.  Short batches: ``repeat`` tiles
+        # real items (training — every host sees identical shapes, repeats
+        # only perturb batch statistics under mean losses); ``mask`` fills
+        # the tail with fully-masked slots (src_len = mel_len = 0, excluded
+        # from every masked loss reduction) so eval counts each item exactly
+        # once — required for the element-weighted val averaging in
+        # ``training/evaluate.py``.
         if len(chunk) < self.global_batch:
-            reps = -(-self.global_batch // len(chunk))
-            chunk = np.tile(chunk, reps)[:self.global_batch]
+            if self.pad_short == "repeat":
+                reps = -(-self.global_batch // len(chunk))
+                chunk = np.tile(chunk, reps)[:self.global_batch]
+            else:
+                pad = np.full(self.global_batch - len(chunk), -1,
+                              chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
         lo = self.host_id * self.local_batch
         chunk = chunk[lo:lo + self.local_batch]
 
@@ -212,6 +224,10 @@ class BucketBatcher:
         speakers = np.zeros((B,), np.int32)
         ids, raws = [], []
         for j, idx in enumerate(chunk):
+            if idx < 0:             # masked padding slot (pad_short="mask")
+                ids.append("")
+                raws.append("")
+                continue
             item = self.ds[int(idx)]
             t = item["text"][:L]
             m = item["mel"][:T]

@@ -45,8 +45,13 @@ def guided_attention_loss(attn: jnp.ndarray, src_lens: jnp.ndarray,
     n_pos = jnp.arange(L, dtype=jnp.float32)
     olens = mel_lens.astype(jnp.float32)[:, None, None]
     ilens = src_lens.astype(jnp.float32)[:, None, None]
-    grid_t = t_pos[None, :, None] / olens
-    grid_n = n_pos[None, None, :] / ilens
+    # grid divisors clamped ≥1 so fully-masked padding items (len-0 slots
+    # from the eval batcher's pad_short="mask") produce finite grids
+    # (inf−inf = NaN would poison the masked mean); the validity mask uses
+    # the raw lengths, so those items contribute to neither numerator nor
+    # denominator — parity- and partition-neutral
+    grid_t = t_pos[None, :, None] / jnp.maximum(olens, 1.0)
+    grid_n = n_pos[None, None, :] / jnp.maximum(ilens, 1.0)
     w = 1.0 - jnp.exp(-((grid_n - grid_t) ** 2) / (2.0 * sigma ** 2))
     valid = ((t_pos[None, :, None] < olens)
              & (n_pos[None, None, :] < ilens))

@@ -158,14 +158,33 @@ def make_multi_step(model, loss_fn, num_steps: int,
 
 def make_eval_step(model, loss_fn, mesh: Optional[Mesh] = None,
                    data_axis: str = "data") -> Callable:
-    """Jitted ``(state, batch) -> LossBreakdown`` over the val split
-    (the reference's missing ``evaluate.py`` contract, SURVEY.md §3.5)."""
+    """Jitted ``(state, batch) -> (LossBreakdown, LossBreakdown)`` over the
+    val split (the reference's missing ``evaluate.py`` contract,
+    SURVEY.md §3.5).
+
+    The second LossBreakdown carries each term's *denominator weight* — the
+    count of valid elements its masked mean was taken over (frames for the
+    mel terms, phonemes for duration, level-dependent for pitch/energy,
+    valid (frame, phoneme) pairs for guided attention).  Aggregating
+    ``Σ loss·w / Σ w`` per term across batches makes the val loss exactly
+    invariant to how the split is partitioned into bucket batches
+    (VERDICT.md Weak #6 — per-batch-equal-weight averaging overweights
+    short tail batches)."""
 
     def step(state: TrainState, batch: Batch):
         _, (losses, _, _) = _forward_loss(
             model, loss_fn, state.params, state.batch_stats, batch,
             None, False)
-        return losses
+        src = jnp.sum(batch.src_lens.astype(jnp.float32))
+        mel = jnp.sum(batch.mel_lens.astype(jnp.float32))
+        pairs = jnp.sum(batch.src_lens.astype(jnp.float32)
+                        * batch.mel_lens.astype(jnp.float32))
+        pv = src if loss_fn.pitch_level == "phoneme_level" else mel
+        ev = src if loss_fn.energy_level == "phoneme_level" else mel
+        weights = type(losses)(
+            total=jnp.asarray(1.0, jnp.float32), mel=mel, postnet_mel=mel,
+            pitch=pv, energy=ev, duration=src, attention=pairs)
+        return losses, weights
 
     if _trivial_mesh(mesh):
         return jax.jit(step)

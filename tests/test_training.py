@@ -125,8 +125,14 @@ def test_grad_accumulation_reaches_finite_loss():
 def test_eval_step_runs():
     state, _, batch, model, loss = _tiny_setup()
     eval_fn = make_eval_step(model, loss)
-    losses = eval_fn(state, batch)
+    losses, weights = eval_fn(state, batch)
     assert np.isfinite(float(losses.total))
+    # denominator weights match the batch's valid-element counts
+    assert float(weights.duration) == float(np.sum(batch.src_lens))
+    assert float(weights.mel) == float(np.sum(batch.mel_lens))
+    assert float(weights.attention) == float(
+        np.sum(batch.src_lens.astype(np.float64)
+               * batch.mel_lens.astype(np.float64)))
 
 
 def test_multi_step_matches_sequential_single_steps():
