@@ -8,6 +8,11 @@ Usage::
         [--speaker_id K] [--pitch_control 1.0] [--energy_control 1.0] \
         [--duration_control 1.0]
 
+    # batch mode (reference TextDataset, dataset.py:142-191): synthesize
+    # every utterance of a metadata file in bucketed static-shape batches
+    python -m smart_nar_fast_tts_tpu.cli.synthesize \
+        --source val.txt --batch_size 8 ...
+
 Includes the ``--speaker_id`` flag the reference reads but never registers
 (``synthesize.py:122`` vs ``:81-102``) and exposes ``--duration_control``,
 which the reference's VarianceAdaptor supports but its CLI cannot reach
@@ -34,7 +39,13 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_args(parser)
-    parser.add_argument("--text", type=str, required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--text", type=str, default=None)
+    src.add_argument("--source", type=str, default=None,
+                     help="metadata file (name|speaker|{phones}|raw per "
+                          "line) to synthesize in bucketed batches")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="batch size for --source mode")
     parser.add_argument("--restore_step", type=int, default=None)
     parser.add_argument("--speaker_id", type=int, default=0)
     parser.add_argument("--pitch_control", type=float, default=1.0)
@@ -53,24 +64,12 @@ def main(argv=None) -> None:
 
     model = FastSpeech2Align(cfg.model, cfg.preprocess)
 
-    if cfg.preprocess.language == "en":
-        phones = G2P(cfg.preprocess.lexicon_path)(args.text)
-    else:
-        phones = args.text
-    ids = np.asarray(
-        text_to_sequence(phones, list(cfg.preprocess.text_cleaners)),
-        np.int32)
-    print(f"phonemes: {phones}")
-
-    texts = jnp.asarray(ids)[None]
-    src_lens = jnp.asarray([len(ids)], jnp.int32)
-    speakers = jnp.asarray([args.speaker_id], jnp.int32)
-
     # init on the training path so the param tree includes the MelEncoder —
     # checkpoints store the full tree
-    T0 = 8
+    T0, L0 = 8, 4
     variables = model.init(
-        jax.random.PRNGKey(0), texts, src_lens, speakers=speakers,
+        jax.random.PRNGKey(0), jnp.zeros((1, L0), jnp.int32),
+        jnp.asarray([L0], jnp.int32), speakers=jnp.zeros((1,), jnp.int32),
         mels=jnp.zeros((1, T0, cfg.model.n_mel_channels)),
         mel_lens=jnp.asarray([T0], jnp.int32),
         p_targets=jnp.zeros((1, T0)), e_targets=jnp.zeros((1, T0)))
@@ -84,34 +83,99 @@ def main(argv=None) -> None:
     if restored == 0:
         print("WARNING: no checkpoint found; synthesizing with random init")
 
-    out = model.apply(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        texts, src_lens, speakers=speakers,
-        max_mel_len=cfg.model.max_seq_len,
+    fwd = jax.jit(lambda params, bs, texts, src_lens, speakers: model.apply(
+        {"params": params, "batch_stats": bs}, texts, src_lens,
+        speakers=speakers, max_mel_len=cfg.model.max_seq_len,
         p_control=args.pitch_control, e_control=args.energy_control,
-        d_control=args.duration_control, deterministic=True)
+        d_control=args.duration_control, deterministic=True))
+    vocode = _make_vocoder(cfg, args.vocoder_ckpt)
+    os.makedirs(cfg.train.result_path, exist_ok=True)
+
+    if args.text is not None:
+        if cfg.preprocess.language == "en":
+            phones = G2P(cfg.preprocess.lexicon_path)(args.text)
+        else:
+            phones = args.text
+        print(f"phonemes: {phones}")
+        ids = np.asarray(
+            text_to_sequence(phones, list(cfg.preprocess.text_cleaners)),
+            np.int32)
+        out = fwd(state.params, state.batch_stats, jnp.asarray(ids)[None],
+                  jnp.asarray([len(ids)], jnp.int32),
+                  jnp.asarray([args.speaker_id], jnp.int32))
+        base = _write_outputs(cfg, args.text[:32].replace(" ", "_"),
+                              args.text, out, 0, vocode)
+        print(f"wrote {base}.wav and {base}.png (ckpt step {restored})")
+    else:
+        n = _synthesize_source(cfg, args, state, fwd, vocode)
+        print(f"wrote {n} utterances to {cfg.train.result_path} "
+              f"(ckpt step {restored})")
+
+
+def _synthesize_source(cfg, args, state, fwd, vocode) -> int:
+    """Batch-synthesize every row of a metadata file (the reference's
+    ``TextDataset`` path, ``dataset.py:142-191`` + ``synthesize.py:59-77``)
+    through text-length buckets so every compiled shape is static."""
+    from ..data.dataset import TextOnlyDataset
+
+    ds = TextOnlyDataset(args.source, cfg.preprocess)
+    caps = sorted(cfg.train.text_buckets)
+    buckets: dict[int, list[int]] = {}
+    for i in range(len(ds)):
+        n = len(ds[i]["text"])
+        cap = next((c for c in caps if n <= c), caps[-1])
+        buckets.setdefault(cap, []).append(i)
+
+    written = 0
+    B = args.batch_size
+    for cap in sorted(buckets):
+        idxs = buckets[cap]
+        for lo in range(0, len(idxs), B):
+            chunk = idxs[lo:lo + B]
+            texts = np.zeros((B, cap), np.int32)
+            src_lens = np.zeros((B,), np.int32)
+            speakers = np.zeros((B,), np.int32)
+            items = [ds[i] for i in chunk]
+            for j, item in enumerate(items):
+                t = item["text"][:cap]
+                texts[j, :len(t)] = t
+                src_lens[j] = len(t)
+                speakers[j] = item["speaker"]
+            src_lens = np.maximum(src_lens, 1)      # masked tail slots
+            out = fwd(state.params, state.batch_stats, jnp.asarray(texts),
+                      jnp.asarray(src_lens), jnp.asarray(speakers))
+            for j, item in enumerate(items):
+                _write_outputs(cfg, item["id"], item["raw_text"], out, j,
+                               vocode)
+                written += 1
+    return written
+
+
+def _write_outputs(cfg, name: str, title: str, out, j: int,
+                   vocode) -> str:
+    """Write ``{result_path}/{name}.wav`` + ``.png`` for batch item ``j``."""
     # ≥4 frames so the Griffin-Lim fallback's reflect-pad framing is valid
     # even for a random-init model predicting ~zero duration
-    n = max(int(out.mel_lens[0]), 4)
-    mel = np.asarray(out.postnet_mel[0, :n])          # (T, n_mels)
-
-    os.makedirs(cfg.train.result_path, exist_ok=True)
-    base = os.path.join(cfg.train.result_path,
-                        args.text[:32].replace(" ", "_"))
+    n = max(int(out.mel_lens[j]), 4)
+    mel = np.asarray(out.postnet_mel[j, :n])          # (T, n_mels)
+    base = os.path.join(cfg.train.result_path, name)
 
     from ..training.logging import plot_mel
     fig = plot_mel([(mel.T, None, None)], cfg.preprocess.stats,
-                   titles=[args.text[:64]])
+                   titles=[title[:64]])
     fig.savefig(base + ".png")
+    import matplotlib.pyplot as plt
+    plt.close(fig)
 
-    wav = _vocode(mel, cfg, args.vocoder_ckpt)
+    wav = vocode(mel)
     from ..data.wavio import save_wav
     save_wav(base + ".wav", wav, cfg.preprocess.audio.sampling_rate)
-    print(f"wrote {base}.wav ({len(wav) / cfg.preprocess.audio.sampling_rate:.2f}s) "
-          f"and {base}.png (ckpt step {restored})")
+    return base
 
 
-def _vocode(mel: np.ndarray, cfg, vocoder_ckpt) -> np.ndarray:
+def _make_vocoder(cfg, vocoder_ckpt):
+    """Return ``mel (T, n_mels) -> wav`` — HiFi-GAN when a checkpoint is
+    given (loaded once), else the Griffin-Lim debug fallback."""
     from ..audio.stft import MelSpectrogramConfig
     a = cfg.preprocess.audio
     mcfg = MelSpectrogramConfig(
@@ -121,16 +185,18 @@ def _vocode(mel: np.ndarray, cfg, vocoder_ckpt) -> np.ndarray:
     if vocoder_ckpt:
         from ..vocoder import load_hifigan, hifigan_infer
         gen, variables = load_hifigan(vocoder_ckpt)
-        return hifigan_infer(gen, variables, mel[None])[0]
+        return lambda mel: hifigan_infer(gen, variables, mel[None])[0]
+
     # Griffin-Lim fallback: invert log-mel → linear magnitude via the
     # filterbank pseudo-inverse (debug-quality audio)
     from ..audio.stft import griffin_lim
-    import jax.numpy as jnp
-    basis = np.asarray(mcfg.mel_basis)                # (n_mels, n_bins)
-    inv = np.linalg.pinv(basis)
-    mag = np.maximum(inv @ np.exp(mel.T), 0.0)        # (n_bins, T)
-    wav = griffin_lim(jnp.asarray(mag)[None], mcfg, n_iters=40)
-    return np.asarray(wav[0])
+    inv = np.linalg.pinv(np.asarray(mcfg.mel_basis))  # (n_bins, n_mels)
+
+    def _gl(mel: np.ndarray) -> np.ndarray:
+        mag = np.maximum(inv @ np.exp(mel.T), 0.0)    # (n_bins, T)
+        return np.asarray(griffin_lim(jnp.asarray(mag)[None], mcfg,
+                                      n_iters=40)[0])
+    return _gl
 
 
 if __name__ == "__main__":

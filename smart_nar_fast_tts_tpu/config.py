@@ -122,9 +122,18 @@ class VariancePredictorConfig:
 
 @dataclass(frozen=True)
 class VarianceEmbeddingConfig:
-    """Reference ``model.yaml:18-21``."""
+    """Reference ``model.yaml:18-21``.
 
-    pitch_quantization: str = "log"     # 'linear' | 'log'
+    Default pitch quantization is ``linear`` — NOT the reference's shipped
+    ``log``: the reference pairs log-pitch with *normalized* pitch stats,
+    which makes ``torch.linspace(log(negative), ...)`` produce NaN bin
+    edges (its own model.yaml comment forbids the combination).  ``log`` is
+    still fully supported for unnormalized (positive-Hz) pitch;
+    :class:`Config` rejects the log+normalized combination with a clear
+    error instead of NaNs (VERDICT.md Missing #5).
+    """
+
+    pitch_quantization: str = "linear"  # 'linear' | 'log'
     energy_quantization: str = "linear"
     n_bins: int = 256
 
@@ -239,6 +248,28 @@ class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
 
+    def __post_init__(self):
+        # Validated config error (VERDICT.md Missing #5): the reference's
+        # shipped LJSpeech model.yaml pairs log quantization with
+        # *normalized* (negative-min) features, which silently produces NaN
+        # bin edges in the reference (torch.linspace(log(negative), ...);
+        # its own model.yaml comment forbids it).  Fail loudly instead.
+        ve = self.model.variance_embedding
+        for name, quant, normed in (
+                ("pitch", ve.pitch_quantization,
+                 self.preprocess.pitch_normalization),
+                ("energy", ve.energy_quantization,
+                 self.preprocess.energy_normalization)):
+            if quant == "log" and normed:
+                raise ValueError(
+                    f"{name}_quantization='log' requires unnormalized "
+                    f"(positive) {name} values, but preprocessing."
+                    f"{name}.normalization is true.  This combination "
+                    "produces NaN quantization bins (reference "
+                    "config/LJSpeech/model.yaml:18-21 forbids it in its "
+                    "own comment).  Use 'linear' quantization or disable "
+                    f"{name} normalization.")
+
     # ------------------------------------------------------------------
     # Reference-YAML interop
     # ------------------------------------------------------------------
@@ -314,7 +345,7 @@ class Config:
                 dropout=vp.get("dropout", 0.5),
             ),
             variance_embedding=VarianceEmbeddingConfig(
-                pitch_quantization=ve.get("pitch_quantization", "log"),
+                pitch_quantization=ve.get("pitch_quantization", "linear"),
                 energy_quantization=ve.get("energy_quantization", "linear"),
                 n_bins=ve.get("n_bins", 256),
             ),

@@ -25,12 +25,20 @@ def quantization_bins(vmin: float, vmax: float, n_bins: int,
                       log_scale: bool) -> np.ndarray:
     """(n_bins - 1,) bucket boundaries (reference model/modules.py:48-71).
 
-    log quantization requires vmin > 0 — with normalized features the
-    reference's own config comment forbids log, but log-pitch is the shipped
-    LJSpeech default; values below vmin simply land in bucket 0.
+    log quantization requires vmin > 0: the reference's shipped LJSpeech
+    config pairs log-pitch with normalized (negative-min) stats and silently
+    gets NaN bin edges from ``torch.linspace(log(negative), ...)`` — its own
+    model.yaml comment forbids the combination.  Raise instead
+    (VERDICT.md Missing #5; :class:`..config.Config` validates the same
+    condition at YAML-load time).
     """
     if log_scale:
-        return np.exp(np.linspace(np.log(max(vmin, 1e-8)), np.log(vmax),
+        if vmin <= 0:
+            raise ValueError(
+                f"log quantization requires positive stats, got "
+                f"vmin={vmin}.  Normalized features need 'linear' "
+                "quantization (reference config/LJSpeech/model.yaml:18-21).")
+        return np.exp(np.linspace(np.log(vmin), np.log(vmax),
                                   n_bins - 1)).astype(np.float32)
     return np.linspace(vmin, vmax, n_bins - 1).astype(np.float32)
 

@@ -48,7 +48,9 @@ def workspace(tmp_path_factory):
         },
         "variance_predictor": {"filter_size": 16, "kernel_size": 3,
                                "dropout": 0.5},
-        "variance_embedding": {"pitch_quantization": "log",
+        # linear: pitch is normalized in this corpus — log+normalized is a
+        # validated config error (reference model.yaml:18-21 NaN quirk)
+        "variance_embedding": {"pitch_quantization": "linear",
                                "energy_quantization": "linear",
                                "n_bins": 16},
         "multi_speaker": False,
@@ -138,3 +140,27 @@ def test_train_vocoder_cli_smoke(tmp_path):
         "--segment_size", "256", "--save_every", "2", "--log_every", "1",
         "--out_dir", str(out_dir), "--debug_tiny"])
     assert (out_dir / "generator_2.msgpack").exists()
+
+
+def test_batch_synthesis_from_source(workspace, capsys):
+    """VERDICT.md Missing #3: --source metadata mode consumes TextOnlyDataset
+    through bucketed static shapes and writes wav/png per utterance."""
+    root, paths, out_dir = workspace
+    from smart_nar_fast_tts_tpu.cli.preprocess import main as preprocess
+    preprocess([paths["preprocess"]])
+    from smart_nar_fast_tts_tpu.cli.train import main as train
+    train(_config_args(paths))
+
+    src = root / "source.txt"
+    src.write_text(
+        "utt_a|0|{HH AH0 L OW1}|hello\n"
+        "utt_b|0|{W ER1 L D AH0 N D M AO1 R}|world and more\n"
+        "utt_c|0|{T EH1 S T}|test\n")
+    from smart_nar_fast_tts_tpu.cli.synthesize import main as synthesize
+    synthesize(_config_args(paths)
+               + ["--source", str(src), "--batch_size", "2"])
+    out = capsys.readouterr().out
+    assert "3 utterances" in out
+    for name in ("utt_a", "utt_b", "utt_c"):
+        assert (root / "result" / f"{name}.wav").exists(), out
+        assert (root / "result" / f"{name}.png").exists(), out

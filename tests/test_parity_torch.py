@@ -46,9 +46,9 @@ def _recovered_calculate_duration(self, attn, ilen, olen, max_ilen=None):
     return duration
 
 
-@pytest.fixture(scope="module")
-def reference_model(tmp_path_factory):
-    """Reference FastSpeech2Align on CPU torch with stats.json staged."""
+def _build_reference(tmp, stats: FeatureStats, pitch_quantization: str):
+    """Instantiate the reference FastSpeech2Align on CPU torch with a staged
+    stats.json and the given pitch quantization."""
     import types
     for name in ("unidecode", "inflect"):
         if name not in sys.modules:
@@ -56,58 +56,73 @@ def reference_model(tmp_path_factory):
             m.unidecode = lambda s: s
             m.engine = lambda: None
             sys.modules[name] = m
-    sys.path.insert(0, "/root/reference")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import torch
+    torch.manual_seed(0)
+    with open(os.path.join(str(tmp), "stats.json"), "w") as f:
+        json.dump({
+            "pitch": [stats.pitch_min, stats.pitch_max,
+                      stats.pitch_mean, stats.pitch_std],
+            "energy": [stats.energy_min, stats.energy_max,
+                       stats.energy_mean, stats.energy_std],
+        }, f)
+    preprocess_config = {
+        "path": {"preprocessed_path": str(tmp)},
+        "preprocessing": {
+            "mel": {"n_mel_channels": 80},
+            "pitch": {"feature": "frame_level"},
+            "energy": {"feature": "frame_level"},
+        },
+    }
+    model_config = {
+        "transformer": {
+            "encoder_layer": 4, "encoder_head": 2,
+            "encoder_hidden": 256, "decoder_layer": 4,
+            "decoder_head": 2, "decoder_hidden": 256,
+            "conv_filter_size": 1024, "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+        },
+        "variance_predictor": {
+            "filter_size": 256, "kernel_size": 3, "dropout": 0.5},
+        "variance_embedding": {
+            "pitch_quantization": pitch_quantization,
+            "energy_quantization": "linear", "n_bins": 256},
+        "multi_speaker": False,
+        "max_seq_len": 1000,
+    }
+    from model.fastspeech2_align import FastSpeech2Align as RefModel
+    RefModel._calculate_duration = _recovered_calculate_duration
+    ref = RefModel(preprocess_config, model_config)
+    ref.eval()
+    return ref, torch
+
+
+@pytest.fixture(scope="module")
+def reference_model(tmp_path_factory):
+    """Reference FastSpeech2Align on CPU torch with stats.json staged."""
     try:
-        import torch
-        torch.manual_seed(0)
-        tmp = tmp_path_factory.mktemp("ref_stats")
-        with open(tmp / "stats.json", "w") as f:
-            json.dump({
-                "pitch": [STATS.pitch_min, STATS.pitch_max,
-                          STATS.pitch_mean, STATS.pitch_std],
-                "energy": [STATS.energy_min, STATS.energy_max,
-                           STATS.energy_mean, STATS.energy_std],
-            }, f)
-        preprocess_config = {
-            "path": {"preprocessed_path": str(tmp)},
-            "preprocessing": {
-                "mel": {"n_mel_channels": 80},
-                "pitch": {"feature": "frame_level"},
-                "energy": {"feature": "frame_level"},
-            },
-        }
-        model_config = {
-            "transformer": {
-                "encoder_layer": 4, "encoder_head": 2,
-                "encoder_hidden": 256, "decoder_layer": 4,
-                "decoder_head": 2, "decoder_hidden": 256,
-                "conv_filter_size": 1024, "conv_kernel_size": [9, 1],
-                "encoder_dropout": 0.2, "decoder_dropout": 0.2,
-            },
-            "variance_predictor": {
-                "filter_size": 256, "kernel_size": 3, "dropout": 0.5},
-            "variance_embedding": {
-                "pitch_quantization": "log",
-                "energy_quantization": "linear", "n_bins": 256},
-            "multi_speaker": False,
-            "max_seq_len": 1000,
-        }
-        from model.fastspeech2_align import FastSpeech2Align as RefModel
-        RefModel._calculate_duration = _recovered_calculate_duration
-        ref = RefModel(preprocess_config, model_config)
-        ref.eval()
-        yield ref, torch
+        yield _build_reference(tmp_path_factory.mktemp("ref_stats"),
+                               STATS, "log")
     finally:
-        sys.path.remove("/root/reference")
+        if "/root/reference" in sys.path:
+            sys.path.remove("/root/reference")
 
 
 @pytest.fixture(scope="module")
 def converted(reference_model):
+    from smart_nar_fast_tts_tpu.config import VarianceEmbeddingConfig
     ref, torch = reference_model
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    cfg = ModelConfig(duration_extraction="buggy")
+    # log pitch quantization to match the reference fixture's model_config
+    # (valid here: STATS carries unnormalized positive-Hz pitch)
+    cfg = ModelConfig(
+        duration_extraction="buggy",
+        variance_embedding=VarianceEmbeddingConfig(
+            pitch_quantization="log"))
     variables = torch_state_dict_to_variables(sd, cfg)
-    pre = PreprocessConfig(stats=STATS)
+    pre = PreprocessConfig(stats=STATS, pitch_normalization=False,
+                           energy_normalization=False)
     model = FastSpeech2Align(cfg, pre)
     return ref, torch, model, variables, cfg
 
@@ -344,3 +359,94 @@ def test_import_checkpoint_cli_roundtrip(reference_model, tmp_path):
                        deterministic=True)
     np.testing.assert_allclose(np.asarray(got.postnet_mel),
                                np.asarray(want.postnet_mel), atol=1e-6)
+
+
+# -- shipped-config (normalized stats) parity — VERDICT.md Missing #5 -------
+
+# Shipped-style LJSpeech stats.json: pitch/energy are z-normalized during
+# preprocessing (preprocess.yaml:29-34), so min is negative.  The shipped
+# model.yaml pairs this with LOG pitch quantization — a NaN-bin config error
+# both frameworks reject (see test_log_plus_normalized_is_config_error); the
+# valid migration is linear quantization, covered here.
+STATS_SHIPPED = FeatureStats(
+    pitch_min=-2.917, pitch_max=11.391, pitch_mean=207.0, pitch_std=46.58,
+    energy_min=-1.375, energy_max=8.256, energy_mean=21.08,
+    energy_std=14.77)
+
+
+@pytest.fixture(scope="module")
+def reference_model_shipped(tmp_path_factory):
+    return _build_reference(tmp_path_factory.mktemp("ref_stats_shipped"),
+                            STATS_SHIPPED, "linear")
+
+
+def test_training_forward_parity_shipped_config(reference_model_shipped):
+    """Parity on the configuration a reference user would actually migrate:
+    shipped-style normalized stats + linear pitch quantization."""
+    ref, torch = reference_model_shipped
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = ModelConfig(duration_extraction="buggy")   # linear pitch default
+    variables = torch_state_dict_to_variables(sd, cfg)
+    pre = PreprocessConfig(stats=STATS_SHIPPED)
+    model = FastSpeech2Align(cfg, pre)
+
+    rng = np.random.default_rng(11)
+    B, L, T = 2, 14, 48
+    texts = rng.integers(2, 300, size=(B, L)).astype(np.int64)
+    src_lens = np.array([L, L - 4], dtype=np.int64)
+    for b, n in enumerate(src_lens):
+        texts[b, n:] = 0
+    mels = rng.normal(0, 1, size=(B, T, 80)).astype(np.float32)
+    mel_lens = np.array([T, T - 12], dtype=np.int64)
+    # normalized-feature ranges (z-scores), matching the stats above
+    pitch = rng.uniform(-2.8, 11.0, size=(B, T)).astype(np.float32)
+    energy = rng.uniform(-1.3, 8.0, size=(B, T)).astype(np.float32)
+    for b, n in enumerate(mel_lens):
+        mels[b, n:] = 0
+        pitch[b, n:] = 0
+        energy[b, n:] = 0
+
+    with torch.no_grad():
+        (r_mel, r_post, r_p, r_e, r_logd, *_rest, r_dtgt) = ref(
+            torch.zeros(B, dtype=torch.long),
+            torch.from_numpy(texts), torch.from_numpy(src_lens),
+            int(src_lens.max()),
+            mels=torch.from_numpy(mels),
+            mel_lens=torch.from_numpy(mel_lens),
+            max_mel_len=int(mel_lens.max()),
+            p_targets=torch.from_numpy(pitch),
+            e_targets=torch.from_numpy(energy))
+
+    out = model.apply(
+        variables, jnp.asarray(texts), jnp.asarray(src_lens),
+        mels=jnp.asarray(mels), mel_lens=jnp.asarray(mel_lens),
+        p_targets=jnp.asarray(pitch), e_targets=jnp.asarray(energy),
+        deterministic=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.duration_targets), r_dtgt.numpy())
+    np.testing.assert_allclose(
+        np.asarray(out.pitch_prediction), r_p.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.energy_prediction), r_e.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.mel), r_mel.numpy(), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.postnet_mel), r_post.numpy(), atol=1e-3)
+
+
+def test_log_plus_normalized_is_config_error():
+    """The literal shipped model.yaml+preprocess.yaml combination (log pitch
+    quantization over normalized pitch) NaNs in the reference; here it is a
+    validated config error at both the Config and bin-construction layers."""
+    from smart_nar_fast_tts_tpu.config import (Config,
+                                               VarianceEmbeddingConfig)
+    with pytest.raises(ValueError, match="log"):
+        Config(model=ModelConfig(
+            variance_embedding=VarianceEmbeddingConfig(
+                pitch_quantization="log")),
+            preprocess=PreprocessConfig(pitch_normalization=True))
+
+    from smart_nar_fast_tts_tpu.models.variance import quantization_bins
+    with pytest.raises(ValueError, match="positive"):
+        quantization_bins(-2.9, 11.4, 256, log_scale=True)
