@@ -1,0 +1,217 @@
+"""DIO + StoneMask fidelity suite (VERDICT.md Missing #1).
+
+Round 1's F0 tests proved only self-consistency (C++ ≡ numpy).  This suite
+proves *fidelity* three ways:
+
+1. ground truth — speech-like synthetic signals (harmonic stacks with
+   jitter, glides, vibrato, voiced/unvoiced alternation, noise) whose F0
+   trajectory is known by construction: voiced-F0 RMSE and voicing accuracy
+   are asserted against truth, not against another tracker;
+2. C++ ≡ numpy parity for the new DIO+StoneMask implementation;
+3. a live PyWORLD oracle comparison that activates automatically when
+   ``pyworld`` is installed (it is not in this image; the test is the
+   committed contract for environments that have it), plus real-speech
+   distributional sanity checks on the reference's published audio samples.
+
+Reference contract: ``preprocessor/preprocessor.py:181-186`` (``pw.dio`` +
+``pw.stonemask`` at ``frame_period = hop/sr·1000``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from smart_nar_fast_tts_tpu.data.native_f0 import (estimate_f0_world_native,
+                                                   native_available)
+from smart_nar_fast_tts_tpu.data.world_f0 import (dio, estimate_f0_world,
+                                                  stonemask)
+
+SR, HOP = 22050, 256
+REF_WAVS = "/root/reference/output/result/Smart"
+
+
+def _voiced_signal(f0_traj: np.ndarray, jitter: float = 0.01,
+                   snr_db: float = 25.0, seed: int = 0,
+                   voiced_mask: np.ndarray | None = None) -> np.ndarray:
+    """Harmonic stack (1/h rolloff, 8 harmonics) with per-sample jitter and
+    additive noise — a speech-like excitation with known F0."""
+    rng = np.random.default_rng(seed)
+    n = len(f0_traj)
+    f0 = f0_traj * (1.0 + jitter * rng.standard_normal(n))
+    phase = 2.0 * np.pi * np.cumsum(f0) / SR
+    x = np.zeros(n)
+    for h in range(1, 9):
+        x += (1.0 / h) * np.sin(h * phase + 0.1 * h)
+    if voiced_mask is not None:
+        x *= voiced_mask
+    noise = rng.standard_normal(n)
+    return x + noise * (np.sqrt(np.mean(x ** 2) + 1e-12)
+                        / 10.0 ** (snr_db / 20.0))
+
+
+def _frame_truth(traj: np.ndarray, n_frames: int) -> np.ndarray:
+    idx = np.minimum(np.arange(n_frames) * HOP, len(traj) - 1)
+    return traj[idx]
+
+
+class TestGroundTruthFidelity:
+    def test_glide(self):
+        n = int(1.5 * SR)
+        truth = np.linspace(120.0, 220.0, n)
+        f0 = estimate_f0_world(_voiced_signal(truth), SR, HOP)
+        tt = _frame_truth(truth, len(f0))
+        voiced = f0 > 0
+        assert voiced.mean() > 0.95
+        rmse = np.sqrt(np.mean((f0[voiced] - tt[voiced]) ** 2))
+        assert rmse < 3.0, f"voiced RMSE {rmse:.2f} Hz"
+
+    def test_vibrato(self):
+        n = int(1.5 * SR)
+        t = np.arange(n) / SR
+        truth = 200.0 + 12.0 * np.sin(2 * np.pi * 5.5 * t)
+        f0 = estimate_f0_world(_voiced_signal(truth, seed=1), SR, HOP)
+        tt = _frame_truth(truth, len(f0))
+        voiced = f0 > 0
+        assert voiced.mean() > 0.95
+        rmse = np.sqrt(np.mean((f0[voiced] - tt[voiced]) ** 2))
+        assert rmse < 3.0, f"voiced RMSE {rmse:.2f} Hz"
+
+    def test_voiced_unvoiced_alternation(self):
+        n = int(1.5 * SR)
+        mask = np.zeros(n)
+        mask[:int(0.5 * SR)] = 1.0
+        mask[int(0.8 * SR):int(1.2 * SR)] = 1.0
+        truth = np.full(n, 150.0)
+        f0 = estimate_f0_world(
+            _voiced_signal(truth, seed=2, voiced_mask=mask), SR, HOP)
+        truth_voiced = _frame_truth(mask, len(f0)) > 0
+        agreement = np.mean((f0 > 0) == truth_voiced)
+        assert agreement > 0.85, f"voicing agreement {agreement:.3f}"
+        hit = (f0 > 0) & truth_voiced
+        rmse = np.sqrt(np.mean((f0[hit] - 150.0) ** 2))
+        assert rmse < 3.0, f"voiced RMSE {rmse:.2f} Hz"
+
+    def test_low_and_high_pitch(self):
+        # extremes of the [71, 800] default range must not octave-flip
+        for hz, seed in ((90.0, 3), (420.0, 4)):
+            n = SR
+            truth = np.full(n, hz)
+            f0 = estimate_f0_world(_voiced_signal(truth, seed=seed), SR,
+                                   HOP)
+            voiced = f0 > 0
+            assert voiced.mean() > 0.9, hz
+            med = np.median(f0[voiced])
+            assert abs(med - hz) / hz < 0.02, (hz, med)
+
+    def test_stonemask_refines_dio(self):
+        """StoneMask must reduce DIO's error, not just perturb it."""
+        n = int(1.5 * SR)
+        truth = np.linspace(130.0, 210.0, n)
+        x = _voiced_signal(truth, seed=5)
+        raw = dio(x, SR, HOP)
+        fine = stonemask(x, raw, SR, HOP)
+        tt = _frame_truth(truth, len(raw))
+        v = (raw > 0) & (fine > 0)
+        rmse_raw = np.sqrt(np.mean((raw[v] - tt[v]) ** 2))
+        rmse_fine = np.sqrt(np.mean((fine[v] - tt[v]) ** 2))
+        assert rmse_fine < rmse_raw
+        assert rmse_fine < 1.0, f"refined RMSE {rmse_fine:.2f} Hz"
+
+    def test_output_contract(self):
+        wav = _voiced_signal(np.full(SR, 180.0), seed=6)
+        f0 = estimate_f0_world(wav, SR, HOP)
+        assert len(f0) == len(wav) // HOP + 1
+        assert np.all(f0 >= 0.0)
+        f0_sil = estimate_f0_world(np.zeros(SR // 2), SR, HOP)
+        np.testing.assert_array_equal(f0_sil, 0.0)
+
+
+@pytest.mark.skipif(not native_available(),
+                    reason="no C++ toolchain for native f0")
+class TestNativeParity:
+    def test_matches_numpy_oracle(self):
+        n = int(1.5 * SR)
+        t = np.arange(n) / SR
+        truth = 170.0 + 40.0 * np.sin(2 * np.pi * 0.9 * t)
+        mask = np.ones(n)
+        mask[int(0.6 * SR):int(0.9 * SR)] = 0.0
+        wav = _voiced_signal(truth, seed=7, voiced_mask=mask)
+        ref = estimate_f0_world(wav, SR, HOP)
+        got = estimate_f0_world_native(wav, SR, HOP)
+        assert got.shape == ref.shape
+        agree = np.mean((ref > 0) == (got > 0))
+        assert agree >= 0.995, f"voicing agreement {agree}"
+        both = (ref > 0) & (got > 0)
+        np.testing.assert_allclose(got[both], ref[both], rtol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_WAVS),
+                    reason="reference audio samples not present")
+class TestRealSpeechSanity:
+    """Distributional checks on the reference's published speech samples —
+    a tracker with octave errors or a broken voicing gate fails these."""
+
+    def _load(self, name):
+        from smart_nar_fast_tts_tpu.data.wavio import load_wav
+        wav, sr = load_wav(os.path.join(REF_WAVS, name))
+        return np.asarray(wav, np.float64), sr
+
+    @pytest.mark.parametrize("name", ["1.wav", "3.wav", "5.wav"])
+    def test_distribution(self, name):
+        wav, sr = self._load(name)
+        f0 = estimate_f0_world_native(wav, sr, HOP)
+        v = f0 > 0
+        assert 0.3 < v.mean() < 0.95, f"voiced fraction {v.mean():.2f}"
+        med = np.median(f0[v])
+        assert 80.0 < med < 400.0, f"median F0 {med:.0f} Hz"
+        # contour smoothness within voiced runs: jumpy tracks (octave
+        # errors) have large median |ΔF0|
+        dv = np.abs(np.diff(f0))[(v[1:] & v[:-1])]
+        assert np.median(dv) < 8.0, f"median |dF0| {np.median(dv):.1f} Hz"
+
+
+def _has_pyworld():
+    try:
+        import pyworld  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pyworld(),
+                    reason="pyworld not installed (live-oracle contract; "
+                           "runs automatically where it is)")
+class TestPyWorldGolden:
+    """Direct agreement with the reference's actual binary dependency."""
+
+    def _compare(self, wav, sr):
+        import pyworld as pw
+        ours = estimate_f0_world_native(wav, sr, HOP)
+        ref, t = pw.dio(wav, sr, frame_period=HOP / sr * 1000.0)
+        ref = pw.stonemask(wav, ref, t, sr)
+        n = min(len(ours), len(ref))
+        ours, ref = ours[:n], ref[:n]
+        agree = np.mean((ours > 0) == (ref > 0))
+        both = (ours > 0) & (ref > 0)
+        rmse = np.sqrt(np.mean((ours[both] - ref[both]) ** 2))
+        return agree, rmse
+
+    def test_synthetic(self):
+        n = int(1.5 * SR)
+        truth = np.linspace(110.0, 240.0, n)
+        wav = _voiced_signal(truth, seed=8)
+        agree, rmse = self._compare(wav, SR)
+        assert agree >= 0.93, f"voicing agreement vs pyworld {agree:.3f}"
+        assert rmse < 5.0, f"voiced RMSE vs pyworld {rmse:.2f} Hz"
+
+    @pytest.mark.skipif(not os.path.isdir(REF_WAVS),
+                        reason="reference audio samples not present")
+    def test_real_speech(self):
+        from smart_nar_fast_tts_tpu.data.wavio import load_wav
+        wav, sr = load_wav(os.path.join(REF_WAVS, "1.wav"))
+        agree, rmse = self._compare(np.asarray(wav, np.float64), sr)
+        assert agree >= 0.90, f"voicing agreement vs pyworld {agree:.3f}"
+        assert rmse < 8.0, f"voiced RMSE vs pyworld {rmse:.2f} Hz"

@@ -11,6 +11,7 @@ import pytest
 import conftest  # noqa: F401
 
 from smart_nar_fast_tts_tpu.data.native_f0 import (estimate_f0_native,
+                                                   estimate_f0_nccf_native,
                                                    native_available)
 from smart_nar_fast_tts_tpu.data.pitch import estimate_f0
 
@@ -37,7 +38,7 @@ class TestNativeF0:
     def test_matches_numpy_oracle(self):
         wav = _signal()
         ref = estimate_f0(wav, SR, HOP)
-        got = estimate_f0_native(wav, SR, HOP)
+        got = estimate_f0_nccf_native(wav, SR, HOP)
         assert got.shape == ref.shape
         both_voiced = (ref > 0) & (got > 0)
         # voicing decisions: identical math → identical gates
@@ -60,7 +61,15 @@ class TestNativeF0:
 
     def test_env_off_falls_back(self, monkeypatch):
         monkeypatch.setenv("SMART_TTS_NATIVE_F0", "off")
+        from smart_nar_fast_tts_tpu.data.world_f0 import estimate_f0_world
         wav = _signal(seed=1)
+        got = estimate_f0_native(wav, SR, HOP)       # world by default
+        ref = estimate_f0_world(wav, SR, HOP)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_env_selects_nccf(self, monkeypatch):
+        monkeypatch.setenv("SMART_TTS_F0", "nccf")
+        wav = _signal(seed=2)
         got = estimate_f0_native(wav, SR, HOP)
-        ref = estimate_f0(wav, SR, HOP)
+        ref = estimate_f0_nccf_native(wav, SR, HOP)
         np.testing.assert_array_equal(got, ref)
