@@ -2,12 +2,14 @@
 
 Replicates the reference's synthesis-time frontend
 (``synthesize.py:20-56``): clean the text, split into words, look each word
-up in a pronunciation lexicon (``lexicon/librispeech-lexicon.txt``), and fall
-back to G2P for OOV words; non-word punctuation becomes an ``sp`` silence
-token.  The reference used the ``g2p_en`` neural package for OOV fallback;
-that package is not available here, so the fallback is a self-contained
-rule-based letter-to-sound pass (``_rule_g2p``).  A trained G2P model can be
-plugged in via ``G2P(fallback=...)``.
+up in a pronunciation lexicon (``lexicon/librispeech-lexicon.txt``), and
+fall back to G2P for OOV words; non-word punctuation becomes an ``sp``
+silence token.  The reference uses the ``g2p_en`` neural package for the
+OOV fallback (``synthesize.py:36,43``); here the equivalent is the in-repo
+learned seq2seq (``text/g2p_model.py``, trained by ``cli/train_g2p.py``,
+numpy inference) whenever its weights are present, with a rule-based
+letter-to-sound pass (``_rule_g2p``) as the last-resort fallback.  Any
+callable can be substituted via ``G2P(fallback=...)``.
 """
 
 from __future__ import annotations
@@ -112,15 +114,33 @@ def _rule_g2p(word: str) -> list[str]:
     return phones or ["AH0"]
 
 
+def _learned_fallback() -> Callable[[str], list[str]] | None:
+    """The committed learned model's ``predict``, or None when absent."""
+    from .g2p_model import load_default
+    model = load_default()
+    if model is None:
+        return None
+
+    def predict(word: str) -> list[str]:
+        phones = model.predict(word)
+        return phones if phones else _rule_g2p(word)
+    return predict
+
+
 class G2P:
-    """Lexicon-first grapheme→phoneme converter with pluggable fallback."""
+    """Lexicon-first grapheme→phoneme converter with pluggable fallback.
+
+    OOV fallback priority: explicit ``fallback`` argument > the committed
+    learned seq2seq (``text/data/g2p_weights.npz``, the reference's g2p_en
+    role) > the rule-based letter-to-sound pass.
+    """
 
     def __init__(self, lexicon_path: str | None = None,
                  fallback: Callable[[str], list[str]] | None = None):
         self.lexicon: dict[str, list[str]] = {}
         if lexicon_path and os.path.exists(lexicon_path):
             self.lexicon = read_lexicon(lexicon_path)
-        self.fallback = fallback or _rule_g2p
+        self.fallback = fallback or _learned_fallback() or _rule_g2p
 
     def __call__(self, text: str) -> str:
         """English text → ``{PH PH sp ...}`` phoneme string, the same shape
