@@ -338,3 +338,54 @@ def test_preprocessor_parallel_matches_serial(tmp_path):
                                rtol=1e-9)
     assert (out_dir / "train.txt").read_text() \
         == (out_dir2 / "train.txt").read_text()
+
+
+def test_preprocessor_phoneme_level_features(tmp_path):
+    """phoneme_level pitch/energy (reference preprocessor.py:197-227):
+    frame values averaged per phoneme (pitch with unvoiced-gap interp), so
+    stored arrays have one value per phoneme; the bucketed collate then
+    pads them to the text cap, not the mel cap."""
+    in_dir, out_dir = _make_corpus(tmp_path, n_utts=4)
+    cfg = PreprocessConfig(
+        data_path=str(in_dir), preprocessed_path=str(out_dir),
+        val_size=1, audio=AudioConfig(),
+        pitch_feature="phoneme_level", energy_feature="phoneme_level")
+    out = Preprocessor(cfg).build_from_path(seed=3)
+    assert len(out) >= 3
+
+    import dataclasses
+    from smart_nar_fast_tts_tpu.config import FeatureStats
+    cfg = dataclasses.replace(cfg, stats=FeatureStats.from_stats_json(
+        str(out_dir / "stats.json")))
+    ds = AcousticDataset("train.txt", cfg)
+    for i in range(len(ds)):
+        item = ds[i]
+        n_phones = len(item["text"])
+        assert item["pitch"].shape == (n_phones,)
+        assert item["energy"].shape == (n_phones,)
+        assert item["mel"].shape[0] > n_phones    # frames ≫ phones
+
+    b = BucketBatcher(ds, batch_size=2, text_buckets=(16,),
+                      mel_buckets=(256,))
+    batch, ids, raws = next(iter(b.batches(0)))
+    assert batch.pitch.shape == (2, 16)           # text cap, not mel cap
+    assert batch.energy.shape == (2, 16)
+    assert batch.mels.shape == (2, 256, 80)
+
+
+def test_phoneme_average_oracle():
+    """_phoneme_average against hand-computed reference semantics
+    (preprocessor.py:197-227): pitch interpolates unvoiced gaps first,
+    energy does not; values averaged over each phoneme's frame span."""
+    from smart_nar_fast_tts_tpu.data.preprocessor import _phoneme_average
+
+    pitch = np.array([0.0, 100.0, 0.0, 200.0, 0.0, 0.0], np.float32)
+    durations = [2, 3, 1]
+    # interp over nonzero support [1:100, 3:200] -> [100,100,150,200,200,200]
+    # phoneme means: [100,100] -> 100; [150,200,200] -> 550/3; [200] -> 200
+    got = _phoneme_average(pitch, durations, interpolate=True)
+    np.testing.assert_allclose(got, [100.0, 550.0 / 3.0, 200.0], rtol=1e-6)
+
+    energy = np.array([1.0, 3.0, 2.0, 4.0, 6.0, 8.0], np.float32)
+    got = _phoneme_average(energy, durations, interpolate=False)
+    np.testing.assert_allclose(got, [2.0, 4.0, 8.0], rtol=1e-6)

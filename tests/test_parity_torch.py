@@ -46,9 +46,11 @@ def _recovered_calculate_duration(self, attn, ilen, olen, max_ilen=None):
     return duration
 
 
-def _build_reference(tmp, stats: FeatureStats, pitch_quantization: str):
+def _build_reference(tmp, stats: FeatureStats, pitch_quantization: str,
+                     pitch_feature: str = "frame_level",
+                     energy_feature: str = "frame_level"):
     """Instantiate the reference FastSpeech2Align on CPU torch with a staged
-    stats.json and the given pitch quantization."""
+    stats.json and the given pitch quantization / feature levels."""
     import types
     for name in ("unidecode", "inflect"):
         if name not in sys.modules:
@@ -71,8 +73,8 @@ def _build_reference(tmp, stats: FeatureStats, pitch_quantization: str):
         "path": {"preprocessed_path": str(tmp)},
         "preprocessing": {
             "mel": {"n_mel_channels": 80},
-            "pitch": {"feature": "frame_level"},
-            "energy": {"feature": "frame_level"},
+            "pitch": {"feature": pitch_feature},
+            "energy": {"feature": energy_feature},
         },
     }
     model_config = {
@@ -450,3 +452,77 @@ def test_log_plus_normalized_is_config_error():
     from smart_nar_fast_tts_tpu.models.variance import quantization_bins
     with pytest.raises(ValueError, match="positive"):
         quantization_bins(-2.9, 11.4, 256, log_scale=True)
+
+
+# -- phoneme-level variance features -----------------------------------------
+
+@pytest.fixture(scope="module")
+def reference_model_phoneme(tmp_path_factory):
+    return _build_reference(tmp_path_factory.mktemp("ref_stats_ph"),
+                            STATS, "log", pitch_feature="phoneme_level",
+                            energy_feature="phoneme_level")
+
+
+def test_training_forward_parity_phoneme_level(reference_model_phoneme):
+    """Phoneme-level pitch/energy (reference preprocess.yaml's other
+    feature mode, modules.py:80-100): targets are (B, L_txt), embeddings
+    added BEFORE length regulation; parity on all predictions + mels."""
+    from smart_nar_fast_tts_tpu.config import VarianceEmbeddingConfig
+    ref, torch = reference_model_phoneme
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = ModelConfig(
+        duration_extraction="buggy",
+        variance_embedding=VarianceEmbeddingConfig(
+            pitch_quantization="log"))
+    variables = torch_state_dict_to_variables(sd, cfg)
+    pre = PreprocessConfig(stats=STATS, pitch_normalization=False,
+                           energy_normalization=False,
+                           pitch_feature="phoneme_level",
+                           energy_feature="phoneme_level")
+    model = FastSpeech2Align(cfg, pre)
+
+    rng = np.random.default_rng(21)
+    B, L, T = 2, 14, 48
+    texts = rng.integers(2, 300, size=(B, L)).astype(np.int64)
+    src_lens = np.array([L, L - 4], dtype=np.int64)
+    for b, n in enumerate(src_lens):
+        texts[b, n:] = 0
+    mels = rng.normal(0, 1, size=(B, T, 80)).astype(np.float32)
+    mel_lens = np.array([T, T - 12], dtype=np.int64)
+    # phoneme-level targets: one value per phoneme
+    pitch = rng.uniform(80.0, 600.0, size=(B, L)).astype(np.float32)
+    energy = np.abs(rng.normal(2, 1, size=(B, L))).astype(np.float32)
+    for b, n in enumerate(src_lens):
+        pitch[b, n:] = 0
+        energy[b, n:] = 0
+    for b, n in enumerate(mel_lens):
+        mels[b, n:] = 0
+
+    with torch.no_grad():
+        (r_mel, r_post, r_p, r_e, r_logd, *_rest, r_dtgt) = ref(
+            torch.zeros(B, dtype=torch.long),
+            torch.from_numpy(texts), torch.from_numpy(src_lens),
+            int(src_lens.max()),
+            mels=torch.from_numpy(mels),
+            mel_lens=torch.from_numpy(mel_lens),
+            max_mel_len=int(mel_lens.max()),
+            p_targets=torch.from_numpy(pitch),
+            e_targets=torch.from_numpy(energy))
+
+    out = model.apply(
+        variables, jnp.asarray(texts), jnp.asarray(src_lens),
+        mels=jnp.asarray(mels), mel_lens=jnp.asarray(mel_lens),
+        p_targets=jnp.asarray(pitch), e_targets=jnp.asarray(energy),
+        deterministic=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.duration_targets), r_dtgt.numpy())
+    assert out.pitch_prediction.shape == (B, L)      # phoneme-rate
+    np.testing.assert_allclose(
+        np.asarray(out.pitch_prediction), r_p.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.energy_prediction), r_e.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.mel), r_mel.numpy(), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.postnet_mel), r_post.numpy(), atol=1e-3)

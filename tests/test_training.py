@@ -242,3 +242,54 @@ def test_multi_speaker_dp_training():
                         speakers=jnp.asarray([1, 1], jnp.int32), **kw)
     assert np.abs(np.asarray(out_a.postnet_mel)
                   - np.asarray(out_b.postnet_mel)).max() > 1e-6
+
+
+def test_train_step_phoneme_level_variances():
+    """Phoneme-level pitch/energy through the jitted train step: (B, L)
+    targets, phoneme-rate predictions in the loss (loss.py pv/ev
+    selection), finite loss and a real update."""
+    cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_head=2,
+            decoder_head=2, encoder_hidden=16, decoder_hidden=16,
+            conv_filter_size=32),
+        max_seq_len=64)
+    pre = PreprocessConfig(
+        stats=FeatureStats(
+            pitch_min=71.0, pitch_max=800.0, pitch_mean=200.0,
+            pitch_std=50.0, energy_min=0.0, energy_max=8.0,
+            energy_mean=4.0, energy_std=2.0),
+        pitch_feature="phoneme_level", energy_feature="phoneme_level")
+    model = FastSpeech2Align(cfg, pre)
+    loss = FastSpeech2Loss(pre)
+
+    B, L, T = 4, 12, 32
+    rng = np.random.default_rng(1)
+    texts = rng.integers(2, 300, size=(B, L)).astype(np.int32)
+    src_lens = rng.integers(L - 4, L + 1, size=(B,)).astype(np.int32)
+    for b, n in enumerate(src_lens):
+        texts[b, n:] = 0
+    mels = rng.normal(size=(B, T, 80)).astype(np.float32)
+    mel_lens = rng.integers(T - 8, T + 1, size=(B,)).astype(np.int32)
+    pitch = rng.uniform(80, 600, size=(B, L)).astype(np.float32)   # (B, L)
+    energy = rng.uniform(0, 8, size=(B, L)).astype(np.float32)
+    batch = Batch(texts=jnp.asarray(texts), src_lens=jnp.asarray(src_lens),
+                  mels=jnp.asarray(mels), mel_lens=jnp.asarray(mel_lens),
+                  pitch=jnp.asarray(pitch), energy=jnp.asarray(energy))
+
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.texts, batch.src_lens,
+        mels=batch.mels, mel_lens=batch.mel_lens,
+        p_targets=batch.pitch, e_targets=batch.energy)
+    from smart_nar_fast_tts_tpu.config import OptimizerConfig
+    state = create_train_state(
+        variables, make_optimizer(OptimizerConfig(), 16))
+    step_fn = make_train_step(model, loss)
+    state, losses = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses.total))
+    assert int(state.step) == 1
+    # eval weights use phoneme counts for pitch/energy at phoneme level
+    eval_fn = make_eval_step(model, loss)
+    _, weights = eval_fn(state, batch)
+    assert float(weights.pitch) == float(np.sum(src_lens))
+    assert float(weights.energy) == float(np.sum(src_lens))
