@@ -54,7 +54,14 @@ def main(argv=None) -> None:
     parser.add_argument("--vocoder_ckpt", type=str, default=None,
                         help="HiFi-GAN generator checkpoint "
                              "(msgpack/torch); Griffin-Lim if omitted")
+    parser.add_argument("--stream_chunk", type=int, default=0,
+                        help="vocode in fixed windows of this many mel "
+                             "frames (StreamingVocoder: O(1) memory, one "
+                             "compiled shape, prints time-to-first-audio); "
+                             "requires --vocoder_ckpt")
     args = parser.parse_args(argv)
+    if args.stream_chunk and not args.vocoder_ckpt:
+        parser.error("--stream_chunk requires --vocoder_ckpt")
 
     cfg = load_config(args)
     from ..models import FastSpeech2Align
@@ -88,7 +95,7 @@ def main(argv=None) -> None:
         speakers=speakers, max_mel_len=cfg.model.max_seq_len,
         p_control=args.pitch_control, e_control=args.energy_control,
         d_control=args.duration_control, deterministic=True))
-    vocode = _make_vocoder(cfg, args.vocoder_ckpt)
+    vocode = _make_vocoder(cfg, args.vocoder_ckpt, args.stream_chunk)
     os.makedirs(cfg.train.result_path, exist_ok=True)
 
     if args.text is not None:
@@ -173,9 +180,10 @@ def _write_outputs(cfg, name: str, title: str, out, j: int,
     return base
 
 
-def _make_vocoder(cfg, vocoder_ckpt):
+def _make_vocoder(cfg, vocoder_ckpt, stream_chunk: int = 0):
     """Return ``mel (T, n_mels) -> wav`` — HiFi-GAN when a checkpoint is
-    given (loaded once), else the Griffin-Lim debug fallback."""
+    given (loaded once; chunked via :class:`StreamingVocoder` when
+    ``stream_chunk > 0``), else the Griffin-Lim debug fallback."""
     from ..audio.stft import MelSpectrogramConfig
     a = cfg.preprocess.audio
     mcfg = MelSpectrogramConfig(
@@ -185,6 +193,26 @@ def _make_vocoder(cfg, vocoder_ckpt):
     if vocoder_ckpt:
         from ..vocoder import load_hifigan, hifigan_infer
         gen, variables = load_hifigan(vocoder_ckpt)
+        if stream_chunk:
+            import time
+
+            from ..vocoder import StreamingVocoder
+            sv = StreamingVocoder(gen, variables,
+                                  chunk_frames=stream_chunk)
+
+            def _stream(mel: np.ndarray) -> np.ndarray:
+                t0 = time.perf_counter()
+                chunks = []
+                for i, c in enumerate(sv.synthesize_chunks(mel)):
+                    if i == 0:
+                        dt = time.perf_counter() - t0
+                        print(f"  first audio ({c.shape[0]} samples) after "
+                              f"{dt * 1e3:.1f} ms "
+                              f"(window={sv.window_frames} frames, "
+                              f"halo={sv.halo})")
+                    chunks.append(c)
+                return np.concatenate(chunks)
+            return _stream
         return lambda mel: hifigan_infer(gen, variables, mel[None])[0]
 
     # Griffin-Lim fallback: invert log-mel → linear magnitude via the

@@ -86,8 +86,9 @@ def load_hifigan(ckpt_path: str, config_path: str | None = None
                  ) -> tuple[HiFiGANGenerator, dict]:
     """Load a HiFi-GAN generator from a torch checkpoint file (the
     reference's ``generator_LJSpeech.pth.tar`` format: top-level
-    ``{"generator": state_dict}``) or a raw state-dict file.  A
-    ``config.json`` beside the checkpoint overrides the V1 defaults."""
+    ``{"generator": state_dict}``), a raw state-dict file, or a
+    ``.msgpack`` flax params file as written by the ``train_vocoder`` CLI.
+    A ``config.json`` beside the checkpoint overrides the V1 defaults."""
     if config_path is None:
         cand = os.path.join(os.path.dirname(ckpt_path), "config.json")
         config_path = cand if os.path.isfile(cand) else None
@@ -96,6 +97,18 @@ def load_hifigan(ckpt_path: str, config_path: str | None = None
             config = HiFiGANConfig.from_dict(json.load(f))
     else:
         config = HiFiGANConfig()
+
+    if ckpt_path.endswith(".msgpack"):
+        # our own fine-tune output: flax params, weight norm already plain
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+        gen = HiFiGANGenerator(config)
+        target = gen.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, config.n_mels)))["params"]
+        with open(ckpt_path, "rb") as f:
+            params = serialization.from_bytes(target, f.read())
+        return gen, {"params": params}
 
     import torch  # host-side import only (CPU torch is in the image)
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)

@@ -75,6 +75,22 @@ class HiFiGANConfig:
             out *= u
         return out
 
+    def to_dict(self) -> dict:
+        """Serializable dict in upstream ``config.json`` key spelling —
+        ``from_dict(to_dict())`` round-trips."""
+        return {
+            "resblock": self.resblock,
+            "upsample_rates": list(self.upsample_rates),
+            "upsample_kernel_sizes": list(self.upsample_kernel_sizes),
+            "upsample_initial_channel": self.upsample_initial_channel,
+            "resblock_kernel_sizes": list(self.resblock_kernel_sizes),
+            "resblock_dilation_sizes": [
+                list(d) for d in self.resblock_dilation_sizes],
+            "num_mels": self.n_mels,
+            "sampling_rate": self.sampling_rate,
+            "compute_dtype": self.compute_dtype,
+        }
+
     @classmethod
     def from_dict(cls, d: dict) -> "HiFiGANConfig":
         keep = {k: d[k] for k in (

@@ -140,6 +140,59 @@ def test_train_vocoder_cli_smoke(tmp_path):
         "--segment_size", "256", "--save_every", "2", "--log_every", "1",
         "--out_dir", str(out_dir), "--debug_tiny"])
     assert (out_dir / "generator_2.msgpack").exists()
+    # the fine-tune output must round-trip into the serving loader:
+    # config.json is written beside the params and load_hifigan rebuilds
+    # the same topology (synthesize --vocoder_ckpt gen.msgpack path)
+    assert (out_dir / "config.json").exists()
+    import jax.numpy as jnp
+    from smart_nar_fast_tts_tpu.vocoder import load_hifigan
+    gen, variables = load_hifigan(str(out_dir / "generator_2.msgpack"))
+    mel = np.zeros((1, 12, gen.config.n_mels), np.float32)
+    wav = gen.apply(variables, jnp.asarray(mel))
+    assert wav.shape == (1, 12 * gen.config.hop_length)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_synthesize_stream_chunk(workspace, capsys, tmp_path):
+    """--stream_chunk vocodes through StreamingVocoder (chunked windows,
+    prints time-to-first-audio) and writes the same artifacts."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+    from smart_nar_fast_tts_tpu.vocoder import HiFiGANConfig, HiFiGANGenerator
+
+    root, paths, out_dir = workspace
+    from smart_nar_fast_tts_tpu.cli.preprocess import main as preprocess
+    preprocess([paths["preprocess"]])
+    from smart_nar_fast_tts_tpu.cli.train import main as train
+    train(_config_args(paths))
+
+    # tiny 80-mel generator checkpoint in the msgpack+config.json format
+    cfg = HiFiGANConfig(upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                        upsample_initial_channel=8,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 2),), n_mels=80)
+    gen = HiFiGANGenerator(cfg)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 80)))["params"]
+    voc_dir = tmp_path / "voc"
+    voc_dir.mkdir()
+    (voc_dir / "config.json").write_text(json.dumps(cfg.to_dict()))
+    with open(voc_dir / "gen.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+    from smart_nar_fast_tts_tpu.cli.synthesize import main as synthesize
+    synthesize(_config_args(paths) + [
+        "--text", "hello streaming world",
+        "--vocoder_ckpt", str(voc_dir / "gen.msgpack"),
+        "--stream_chunk", "8"])
+    out = capsys.readouterr().out
+    assert "first audio" in out, out
+    wavs = [f for f in os.listdir(root / "result") if f.endswith(".wav")]
+    assert wavs, out
 
 
 def test_batch_synthesis_from_source(workspace, capsys):
