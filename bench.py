@@ -36,7 +36,9 @@ honest rather than the random-init zero.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
 with vs_baseline = target_rtf / measured_rtf (>1 = beating the target).
 "extra" carries the secondary numbers BASELINE.md asks to report:
-mel-only RTF and synthesis mel-frames/sec/chip (BASELINE.md row 5).
+mel-only RTF and synthesis mel-frames/sec/chip (BASELINE.md row 5) — plus
+streaming serving latency (time-to-first-audio at B=1 via StreamingVocoder:
+one mel forward + one chunk+2·halo vocoder window).
 """
 
 import json
@@ -150,6 +152,32 @@ def main():
     m_voc = bm.seconds_per_iteration(voc_step, k_hi=9)
     m_fused = bm.seconds_per_iteration(fused_step, k_hi=9)
 
+    # -- streaming serving: time-to-first-audio at B=1 -----------------------
+    # TTFA = one B=1 mel forward (stage A must finish before vocoding in the
+    # two-stage design) + one StreamingVocoder window (chunk + 2·halo frames).
+    from smart_nar_fast_tts_tpu.vocoder.streaming import mel_receptive_halo
+    STREAM_CHUNK = 64
+    halo = mel_receptive_halo(voc.config)
+    window = STREAM_CHUNK + 2 * halo
+    mel_win = mel_f32[:1, :window]
+
+    def mel1_step(c):
+        t = bm.taint(texts[:1], c)
+        o = model.apply(variables, t, src_lens[:1], max_mel_len=T_CAP,
+                        deterministic=True)
+        return bm.collapse(o.postnet_mel, c)
+
+    def voc_win_step(c):
+        m = bm.taint(mel_win, c)
+        wav = voc.apply(voc_vars, m)
+        return bm.collapse(wav, c)
+
+    m_mel1 = bm.seconds_per_iteration(mel1_step, k_hi=17)
+    m_win = bm.seconds_per_iteration(voc_win_step, k_hi=17)
+    ttfa_ms = (m_mel1.seconds + m_win.seconds) * 1e3
+    chunk_audio_s = STREAM_CHUNK * HOP / SR
+    streaming_rtf = m_win.seconds / chunk_audio_s
+
     # -- bf16 serving variant ------------------------------------------------
     model16, vars16, voc16, voc16_vars, _ = build("bfloat16")
     mel16 = mel_f32                     # same mel input: isolate voc dtype
@@ -194,6 +222,15 @@ def main():
                 "e2e_rtf": round(e2e16 / audio_seconds, 6),
                 "vs_baseline": round(TARGET_RTF * audio_seconds / e2e16, 3),
                 "waveform_rel_l2_vs_f32": round(rel, 5),
+            },
+            "streaming": {
+                "ttfa_ms": round(ttfa_ms, 2),
+                "chunk_frames": STREAM_CHUNK,
+                "halo_frames": halo,
+                "steady_state_rtf": round(streaming_rtf, 6),
+                "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
+                "mel_b1_ms": round(m_mel1.seconds * 1e3, 2),
+                "voc_window_ms": round(m_win.seconds * 1e3, 2),
             },
             "mel_bucket_cap": cap,
             "audio_seconds_per_batch": round(audio_seconds, 2),
