@@ -72,6 +72,28 @@ def export_serving_artifacts(
     ``generator``/``gen_variables`` (optional) the HiFi-GAN vocoder."""
     os.makedirs(out_dir, exist_ok=True)
     B = int(batch_size)
+    # Serialized artifacts must outlive the exporting JAX/libtpu version:
+    # Mosaic (Pallas) custom calls carry no compatibility guarantee across
+    # versions, so exports always trace the identical-math XLA paths
+    # (ops/pallas.use_pallas() reads this env var at trace time).
+    prev_pallas = os.environ.get("SMART_TTS_PALLAS")
+    os.environ["SMART_TTS_PALLAS"] = "off"
+    try:
+        return _export_all(out_dir, model, variables, B, text_buckets,
+                           mel_buckets, max_mel_len, generator,
+                           gen_variables, stream_chunk, p_control,
+                           e_control, d_control, platforms, provenance)
+    finally:
+        if prev_pallas is None:
+            os.environ.pop("SMART_TTS_PALLAS", None)
+        else:
+            os.environ["SMART_TTS_PALLAS"] = prev_pallas
+
+
+def _export_all(out_dir, model, variables, B, text_buckets, mel_buckets,
+                max_mel_len, generator, gen_variables, stream_chunk,
+                p_control, e_control, d_control, platforms,
+                provenance) -> dict:
     manifest: dict = {
         "format": "jax.export serialized StableHLO",
         "batch_size": B,
