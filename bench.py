@@ -117,9 +117,13 @@ def main():
 
     model, variables, voc, voc_vars, params_src = build("float32")
 
-    # audio-seconds denominator + the bucket (one real forward to host)
-    out = model.apply(variables, texts, src_lens, max_mel_len=T_CAP,
-                      deterministic=True)
+    # audio-seconds denominator + the bucket (one real forward to host).
+    # Jitted: an eager flax apply on a remote-attached chip dispatches
+    # every op individually over the tunnel — minutes of RTT for one
+    # forward that jit runs in one program.
+    mel_fwd = jax.jit(lambda v, t, s: model.apply(
+        v, t, s, max_mel_len=T_CAP, deterministic=True))
+    out = mel_fwd(variables, texts, src_lens)
     mel_lens = np.asarray(out.mel_lens)
     frames = float(mel_lens.sum())
     assert frames > 0, "duration predictor produced no frames"
@@ -181,13 +185,12 @@ def main():
     # -- bf16 serving variant ------------------------------------------------
     model16, vars16, voc16, voc16_vars, _ = build("bfloat16")
     mel16 = mel_f32                     # same mel input: isolate voc dtype
-    wav_f32 = np.asarray(voc.apply(voc_vars, mel_f32))
-    wav_b16 = np.asarray(voc16.apply(voc16_vars, mel16), np.float32)
+    wav_b16 = np.asarray(jax.jit(voc16.apply)(voc16_vars, mel16),
+                         np.float32)
     # voc16 has its own init; compare against ITS f32 twin for a pure
     # dtype-error measurement: fold the bf16 params into an f32 forward
-    f32_twin = np.asarray(
-        voc.apply(jax.tree.map(lambda x: x.astype(np.float32), voc16_vars),
-                  mel_f32))
+    f32_twin = np.asarray(jax.jit(voc.apply)(
+        jax.tree.map(lambda x: x.astype(np.float32), voc16_vars), mel_f32))
     rel = float(np.linalg.norm(wav_b16 - f32_twin)
                 / (np.linalg.norm(f32_twin) + 1e-9))
 
@@ -224,7 +227,12 @@ def main():
                 "waveform_rel_l2_vs_f32": round(rel, 5),
             },
             "streaming": {
-                "ttfa_ms": round(ttfa_ms, 2),
+                # device-compute TTFA: slope timing cancels dispatch+RTT
+                # by construction, so a client's observed first-audio
+                # latency adds ~2 dispatches of transport on top (setup-
+                # dependent; ~26 ms each through this dev tunnel, ~10 us
+                # co-located).
+                "ttfa_compute_ms": round(ttfa_ms, 2),
                 "chunk_frames": STREAM_CHUNK,
                 "halo_frames": halo,
                 "steady_state_rtf": round(streaming_rtf, 6),

@@ -196,6 +196,10 @@ def main(argv=None) -> None:
 
     totals = np.asarray([c[1] for c in curve])
     mels = np.asarray([c[2] for c in curve])
+    if len(mels) < 4:
+        raise SystemExit(
+            f"--steps {args.steps} records only {len(mels)} curve points; "
+            f"need >=4 for quarter-run means (use --steps >= 40)")
     k = max(1, len(totals) // 10)
     first, last = float(totals[:k].mean()), float(totals[-k:].mean())
     q = len(mels) // 4

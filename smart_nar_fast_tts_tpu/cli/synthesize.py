@@ -130,7 +130,12 @@ def _synthesize_source(cfg, args, state, fwd, vocode) -> int:
     buckets: dict[int, list[int]] = {}
     for i in range(len(ds)):
         n = len(ds[i]["text"])
-        cap = next((c for c in caps if n <= c), caps[-1])
+        cap = next((c for c in caps if n <= c), None)
+        if cap is None:
+            raise SystemExit(
+                f"utterance {ds[i]['id']!r} has {n} phonemes, more than the "
+                f"largest text bucket ({caps[-1]}); raise "
+                f"train.text_buckets (truncating would drop speech)")
         buckets.setdefault(cap, []).append(i)
 
     written = 0
@@ -144,7 +149,7 @@ def _synthesize_source(cfg, args, state, fwd, vocode) -> int:
             speakers = np.zeros((B,), np.int32)
             items = [ds[i] for i in chunk]
             for j, item in enumerate(items):
-                t = item["text"][:cap]
+                t = item["text"]
                 texts[j, :len(t)] = t
                 src_lens[j] = len(t)
                 speakers[j] = item["speaker"]

@@ -80,20 +80,6 @@ def _ing(word: str, phones: list[str]) -> tuple[str, list[str]]:
     return w, phones + ["IH0", "NG"]
 
 
-def _ly(word: str, phones: list[str]) -> tuple[str, list[str]]:
-    if word.endswith("y") and len(word) > 2 \
-            and word[-2] not in _VOWEL_LETTERS:
-        return word[:-1] + "ily", phones[:-1] + ["AH0", "L", "IY0"]
-    return word + "ly", phones + ["L", "IY0"]
-
-
-def _ness(word: str, phones: list[str]) -> tuple[str, list[str]]:
-    if word.endswith("y") and len(word) > 2 \
-            and word[-2] not in _VOWEL_LETTERS:
-        return word[:-1] + "iness", phones[:-1] + ["IY0", "N", "AH0", "S"]
-    return word + "ness", phones + ["N", "AH0", "S"]
-
-
 def augment(pairs: dict[str, list[str]]) -> dict[str, list[str]]:
     """Morphological expansion: regular inflections with phonologically
     correct suffix realizations (voicing assimilation, y→ie, silent-e).

@@ -133,12 +133,13 @@ def main(argv=None) -> None:
                     f.write(serialization.to_bytes(
                         jax.device_get(state.gen_params)))
                 # config beside the params so load_hifigan() (and therefore
-                # synthesize --vocoder_ckpt) can rebuild the topology
+                # synthesize --vocoder_ckpt) can rebuild the topology;
+                # always rewritten — a stale config from an earlier run with
+                # a different topology would rebuild the wrong model
                 cfg_path = os.path.join(args.out_dir, "config.json")
-                if not os.path.exists(cfg_path):
-                    import json
-                    with open(cfg_path, "w") as f:
-                        json.dump(gen_cfg.to_dict(), f, indent=1)
+                import json
+                with open(cfg_path, "w") as f:
+                    json.dump(gen_cfg.to_dict(), f, indent=1)
                 print(f"saved {path}", flush=True)
 
 

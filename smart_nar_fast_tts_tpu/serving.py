@@ -188,19 +188,22 @@ class ExportedTTS:
         self.hop = int(self.manifest.get("vocoder_hop", 256))
 
     @staticmethod
-    def _pick(programs: list[_Program], n: int) -> _Program:
+    def _pick(programs: list[_Program], n: int, what: str) -> _Program:
         for p in programs:
             if n <= p.bucket:
                 return p
-        return programs[-1]
+        raise ValueError(
+            f"{what} length {n} exceeds the largest exported bucket "
+            f"({programs[-1].bucket}); re-export the artifacts with larger "
+            f"{what} buckets (truncating silently would drop speech)")
 
     def acoustic(self, token_ids: np.ndarray) -> dict:
         """(n,) int token ids → acoustic outputs dict (padded to bucket)."""
         ids = np.asarray(token_ids, np.int32).reshape(-1)
-        prog = self._pick(self._acoustic, ids.shape[0])
+        n = ids.shape[0]
+        prog = self._pick(self._acoustic, n, "text")
         texts = np.zeros((self.batch_size, prog.bucket), np.int32)
-        n = min(ids.shape[0], prog.bucket)
-        texts[0, :n] = ids[:n]
+        texts[0, :n] = ids
         lens = np.full((self.batch_size,), 1, np.int32)
         lens[0] = max(n, 1)
         out = prog.call(jnp.asarray(texts), jnp.asarray(lens))
@@ -211,11 +214,10 @@ class ExportedTTS:
         if not self._vocoder:
             raise ValueError("artifact was exported without a vocoder")
         out = self.acoustic(token_ids)
-        n_frames = max(int(out["mel_lens"][0]), 1)
-        prog = self._pick(self._vocoder, n_frames)
+        t = max(int(out["mel_lens"][0]), 1)
+        prog = self._pick(self._vocoder, t, "mel")
         mel = np.zeros((self.batch_size, prog.bucket,
                         out["postnet_mel"].shape[-1]), np.float32)
-        t = min(n_frames, prog.bucket)
         mel[0, :t] = out["postnet_mel"][0, :t]
         wav = np.asarray(prog.call(jnp.asarray(mel)))
         return wav[0, : t * self.hop]

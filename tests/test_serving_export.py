@@ -105,6 +105,10 @@ def test_bucket_selection(artifact):
     assert short["postnet_mel"].shape[1] == long["postnet_mel"].shape[1]
     assert short["duration_rounded"].shape[1] == 8       # bucket 8
     assert long["duration_rounded"].shape[1] == 16       # bucket 16
+    # longer than every exported bucket: a served request must fail loudly,
+    # never return silently truncated speech
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        tts.acoustic(np.arange(2, 2 + 17, dtype=np.int32))
 
 
 def test_synthesize_end_to_end(artifact):

@@ -112,6 +112,31 @@ def test_online_stream_equals_full_forward(piece_sizes):
     np.testing.assert_allclose(got, full, atol=1e-6, rtol=0)
 
 
+def test_online_stream_long_input_bounded_buffer():
+    """A long/continuous stream must (a) still reproduce the full forward
+    and (b) hold only O(window) mel frames at any time — the buffer trims
+    frames that no future window can touch, so memory does not grow with
+    stream length."""
+    gen, variables = _build(TINY)
+    sv = StreamingVocoder(gen, variables, chunk_frames=4)
+    T = 40 * sv.window_frames
+    mel = np.random.RandomState(11).randn(T, TINY.n_mels).astype(np.float32)
+    full = np.asarray(gen.apply(variables, jnp.asarray(mel[None])))[0]
+
+    piece = 7
+
+    def pieces():
+        for i in range(0, T, piece):
+            yield mel[i: i + piece]
+
+    got = np.concatenate(list(sv.stream(pieces())))
+    np.testing.assert_allclose(got, full, atol=1e-6, rtol=0)
+    bound = sv.window_frames + sv.chunk_frames + piece
+    assert sv.buffered_frames_high_water <= bound, (
+        f"buffer grew to {sv.buffered_frames_high_water} frames "
+        f"(> {bound}) on a {T}-frame stream")
+
+
 def test_online_stream_emits_before_end():
     """Latency contract: audio for the first chunk is yielded as soon as
     chunk+halo frames are available, not only at flush."""
