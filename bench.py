@@ -57,6 +57,18 @@ def _bucket(n: int) -> int:
 
 
 def main():
+    import time
+    t_start = time.time()
+    # Soft wall-clock deadline: the headline numbers (two-stage e2e RTF,
+    # frames/s/chip) are always measured; the comparison extras (fused
+    # program, streaming, bf16 variant) are skipped when cold-compiling
+    # them over a remote chip would push past the budget, so the driver
+    # always gets the one JSON line even under a harness timeout.
+    deadline_s = float(os.environ.get("SMART_TTS_BENCH_DEADLINE", "1200"))
+
+    def time_left() -> float:
+        return deadline_s - (time.time() - t_start)
+
     from smart_nar_fast_tts_tpu.cli._args import enable_compilation_cache
     enable_compilation_cache()
 
@@ -154,99 +166,112 @@ def main():
 
     m_mel = bm.seconds_per_iteration(mel_step, k_hi=17)
     m_voc = bm.seconds_per_iteration(voc_step, k_hi=9)
-    m_fused = bm.seconds_per_iteration(fused_step, k_hi=9)
+
+    e2e = m_mel.seconds + m_voc.seconds
+    rtf = e2e / audio_seconds
+    extra = {
+        "mel_only_rtf": round(m_mel.seconds / audio_seconds, 6),
+        "vocoder_rtf": round(m_voc.seconds / audio_seconds, 6),
+        "mel_frames_per_sec_per_chip": round(frames / m_mel.seconds, 1),
+        "mel_bucket_cap": cap,
+        "audio_seconds_per_batch": round(audio_seconds, 2),
+        "batch": B,
+        "params": params_src,
+        "timing": "in-graph chained slope (see benchmarking.py), "
+                  "bucketed two-stage serving",
+    }
+
+    if time_left() > 120:
+        m_fused = bm.seconds_per_iteration(fused_step, k_hi=9)
+        extra["fused_fullcap_rtf"] = round(m_fused.seconds / audio_seconds,
+                                           6)
+    else:
+        extra["fused_fullcap_rtf"] = "skipped (deadline)"
 
     # -- streaming serving: time-to-first-audio at B=1 -----------------------
     # TTFA = one B=1 mel forward (stage A must finish before vocoding in the
     # two-stage design) + one StreamingVocoder window (chunk + 2·halo frames).
-    from smart_nar_fast_tts_tpu.vocoder.streaming import mel_receptive_halo
-    STREAM_CHUNK = 64
-    halo = mel_receptive_halo(voc.config)
-    window = STREAM_CHUNK + 2 * halo
-    mel_win = mel_f32[:1, :window]
+    if time_left() > 180:
+        from smart_nar_fast_tts_tpu.vocoder.streaming import (
+            mel_receptive_halo)
+        STREAM_CHUNK = 64
+        halo = mel_receptive_halo(voc.config)
+        window = STREAM_CHUNK + 2 * halo
+        mel_win = mel_f32[:1, :window]
 
-    def mel1_step(c):
-        t = bm.taint(texts[:1], c)
-        o = model.apply(variables, t, src_lens[:1], max_mel_len=T_CAP,
-                        deterministic=True)
-        return bm.collapse(o.postnet_mel, c)
+        def mel1_step(c):
+            t = bm.taint(texts[:1], c)
+            o = model.apply(variables, t, src_lens[:1], max_mel_len=T_CAP,
+                            deterministic=True)
+            return bm.collapse(o.postnet_mel, c)
 
-    def voc_win_step(c):
-        m = bm.taint(mel_win, c)
-        wav = voc.apply(voc_vars, m)
-        return bm.collapse(wav, c)
+        def voc_win_step(c):
+            m = bm.taint(mel_win, c)
+            wav = voc.apply(voc_vars, m)
+            return bm.collapse(wav, c)
 
-    m_mel1 = bm.seconds_per_iteration(mel1_step, k_hi=17)
-    m_win = bm.seconds_per_iteration(voc_win_step, k_hi=17)
-    ttfa_ms = (m_mel1.seconds + m_win.seconds) * 1e3
-    chunk_audio_s = STREAM_CHUNK * HOP / SR
-    streaming_rtf = m_win.seconds / chunk_audio_s
+        m_mel1 = bm.seconds_per_iteration(mel1_step, k_hi=17)
+        m_win = bm.seconds_per_iteration(voc_win_step, k_hi=17)
+        ttfa_ms = (m_mel1.seconds + m_win.seconds) * 1e3
+        chunk_audio_s = STREAM_CHUNK * HOP / SR
+        extra["streaming"] = {
+            # device-compute TTFA: slope timing cancels dispatch+RTT by
+            # construction, so a client's observed first-audio latency
+            # adds ~2 dispatches of transport on top (setup-dependent;
+            # ~26 ms each through this dev tunnel, ~10 us co-located).
+            "ttfa_compute_ms": round(ttfa_ms, 2),
+            "chunk_frames": STREAM_CHUNK,
+            "halo_frames": halo,
+            "steady_state_rtf": round(m_win.seconds / chunk_audio_s, 6),
+            "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
+            "mel_b1_ms": round(m_mel1.seconds * 1e3, 2),
+            "voc_window_ms": round(m_win.seconds * 1e3, 2),
+        }
+    else:
+        extra["streaming"] = "skipped (deadline)"
 
     # -- bf16 serving variant ------------------------------------------------
-    model16, vars16, voc16, voc16_vars, _ = build("bfloat16")
-    mel16 = mel_f32                     # same mel input: isolate voc dtype
-    wav_b16 = np.asarray(jax.jit(voc16.apply)(voc16_vars, mel16),
-                         np.float32)
-    # voc16 has its own init; compare against ITS f32 twin for a pure
-    # dtype-error measurement: fold the bf16 params into an f32 forward
-    f32_twin = np.asarray(jax.jit(voc.apply)(
-        jax.tree.map(lambda x: x.astype(np.float32), voc16_vars), mel_f32))
-    rel = float(np.linalg.norm(wav_b16 - f32_twin)
-                / (np.linalg.norm(f32_twin) + 1e-9))
+    if time_left() > 240:
+        model16, vars16, voc16, voc16_vars, _ = build("bfloat16")
+        mel16 = mel_f32                 # same mel input: isolate voc dtype
+        wav_b16 = np.asarray(jax.jit(voc16.apply)(voc16_vars, mel16),
+                             np.float32)
+        # voc16 has its own init; compare against ITS f32 twin for a pure
+        # dtype-error measurement: fold bf16 params into an f32 forward
+        f32_twin = np.asarray(jax.jit(voc.apply)(
+            jax.tree.map(lambda x: x.astype(np.float32), voc16_vars),
+            mel_f32))
+        rel = float(np.linalg.norm(wav_b16 - f32_twin)
+                    / (np.linalg.norm(f32_twin) + 1e-9))
 
-    def mel16_step(c):
-        t = bm.taint(texts, c)
-        o = model16.apply(vars16, t, src_lens, max_mel_len=T_CAP,
-                          deterministic=True)
-        return bm.collapse(o.postnet_mel, c)
+        def mel16_step(c):
+            t = bm.taint(texts, c)
+            o = model16.apply(vars16, t, src_lens, max_mel_len=T_CAP,
+                              deterministic=True)
+            return bm.collapse(o.postnet_mel, c)
 
-    def voc16_step(c):
-        m = bm.taint(mel16, c)
-        wav = voc16.apply(voc16_vars, m)
-        return bm.collapse(wav, c)
+        def voc16_step(c):
+            m = bm.taint(mel16, c)
+            wav = voc16.apply(voc16_vars, m)
+            return bm.collapse(wav, c)
 
-    m_mel16 = bm.seconds_per_iteration(mel16_step, k_hi=17)
-    m_voc16 = bm.seconds_per_iteration(voc16_step, k_hi=9)
+        m_mel16 = bm.seconds_per_iteration(mel16_step, k_hi=17)
+        m_voc16 = bm.seconds_per_iteration(voc16_step, k_hi=9)
+        e2e16 = m_mel16.seconds + m_voc16.seconds
+        extra["bf16"] = {
+            "e2e_rtf": round(e2e16 / audio_seconds, 6),
+            "vs_baseline": round(TARGET_RTF * audio_seconds / e2e16, 3),
+            "waveform_rel_l2_vs_f32": round(rel, 5),
+        }
+    else:
+        extra["bf16"] = "skipped (deadline)"
 
-    e2e = m_mel.seconds + m_voc.seconds
-    e2e16 = m_mel16.seconds + m_voc16.seconds
-    rtf = e2e / audio_seconds
     print(json.dumps({
         "metric": "e2e_synthesis_rtf_per_chip",
         "value": round(rtf, 6),
         "unit": "s_compute/s_audio",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
-        "extra": {
-            "mel_only_rtf": round(m_mel.seconds / audio_seconds, 6),
-            "vocoder_rtf": round(m_voc.seconds / audio_seconds, 6),
-            "mel_frames_per_sec_per_chip": round(frames / m_mel.seconds, 1),
-            "fused_fullcap_rtf": round(m_fused.seconds / audio_seconds, 6),
-            "bf16": {
-                "e2e_rtf": round(e2e16 / audio_seconds, 6),
-                "vs_baseline": round(TARGET_RTF * audio_seconds / e2e16, 3),
-                "waveform_rel_l2_vs_f32": round(rel, 5),
-            },
-            "streaming": {
-                # device-compute TTFA: slope timing cancels dispatch+RTT
-                # by construction, so a client's observed first-audio
-                # latency adds ~2 dispatches of transport on top (setup-
-                # dependent; ~26 ms each through this dev tunnel, ~10 us
-                # co-located).
-                "ttfa_compute_ms": round(ttfa_ms, 2),
-                "chunk_frames": STREAM_CHUNK,
-                "halo_frames": halo,
-                "steady_state_rtf": round(streaming_rtf, 6),
-                "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
-                "mel_b1_ms": round(m_mel1.seconds * 1e3, 2),
-                "voc_window_ms": round(m_win.seconds * 1e3, 2),
-            },
-            "mel_bucket_cap": cap,
-            "audio_seconds_per_batch": round(audio_seconds, 2),
-            "batch": B,
-            "params": params_src,
-            "timing": "in-graph chained slope (see benchmarking.py), "
-                      "bucketed two-stage serving",
-        },
+        "extra": extra,
     }))
 
 
