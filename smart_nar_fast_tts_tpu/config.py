@@ -176,6 +176,16 @@ class ModelConfig:
     guided_sigma: float = 0.2
     # dtype policy: compute dtype for the FFT stacks ('bfloat16'|'float32').
     compute_dtype: str = "float32"
+    # Sequence parallelism (SURVEY.md §5.7): when True, the MelDecoder's
+    # self-attention runs ring attention (parallel/sequence.py) with the
+    # frame/time axis sharded over mesh axis ``sp_axis`` — O(T²/N) compute
+    # and O(T/N) score memory per device for long utterances.  The model
+    # call must then receive the mesh via ``sp_mesh=``; the frame capacity
+    # must divide the axis size.  Intended for long-form serving/training
+    # where the batch is small and the time axis is the scaling dimension
+    # (the reference instead *caps* T at 1000, transformer/Models.py:159).
+    sequence_parallel: bool = False
+    sp_axis: str = "data"
 
     def __post_init__(self):
         assert self.upsampling in ("hard", "gaussian")

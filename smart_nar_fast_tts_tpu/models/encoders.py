@@ -110,16 +110,28 @@ class MelEncoder(nn.Module):
 
 class MelDecoder(nn.Module):
     """PE + N self-attention FFT blocks over the upsampled sequence
-    (reference ``transformer/Models.py:176-244``)."""
+    (reference ``transformer/Models.py:176-244``).
+
+    When ``cfg.sequence_parallel`` and an ``sp_mesh`` is given, each block's
+    self-attention runs as ring attention with the frame axis sharded over
+    ``cfg.sp_axis`` (SURVEY.md §5.7 long-context story)."""
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mel_valid: jnp.ndarray,
                  deterministic: bool = True,
-                 mel_cap: jnp.ndarray | None = None) -> jnp.ndarray:
+                 mel_cap: jnp.ndarray | None = None,
+                 sp_mesh=None) -> jnp.ndarray:
         t = self.cfg.transformer
         dtype = _dtype_of(self.cfg)
+        if self.cfg.sequence_parallel and sp_mesh is None:
+            raise ValueError(
+                "ModelConfig.sequence_parallel=True requires the mesh: "
+                "pass sp_mesh= to the model call (a jax.sharding.Mesh with "
+                f"axis {self.cfg.sp_axis!r}; the frame capacity "
+                f"{x.shape[1]} must divide its size)")
+        sp = sp_mesh if self.cfg.sequence_parallel else None
         x = x.astype(dtype) + _pe(x.shape[1], t.decoder_hidden,
                                   dtype)[None]
         for i in range(t.decoder_layer):
@@ -129,5 +141,6 @@ class MelDecoder(nn.Module):
                 dtype=dtype,
                 name=f"layer_{i}")(x, mel_valid,
                                    deterministic=deterministic,
-                                   cap_valid=mel_cap)
+                                   cap_valid=mel_cap,
+                                   sp_mesh=sp, sp_axis=self.cfg.sp_axis)
         return x.astype(jnp.float32)     # mel_linear/postnet stay f32

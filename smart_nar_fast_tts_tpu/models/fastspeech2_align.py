@@ -77,7 +77,8 @@ class FastSpeech2Align(nn.Module):
                  p_control: float = 1.0,
                  e_control: float = 1.0,
                  d_control: float = 1.0,
-                 deterministic: bool = True) -> ModelOutput:
+                 deterministic: bool = True,
+                 sp_mesh=None) -> ModelOutput:
         is_training = mels is not None and mel_lens is not None
         B, L = texts.shape
         src_valid = length_to_valid(src_lens, L)
@@ -144,7 +145,7 @@ class FastSpeech2Align(nn.Module):
                 src_cap=src_cap, mel_cap=mel_cap)
 
         x = MelDecoder(self.cfg, name="mel_decoder")(
-            va.x, va.mel_valid, deterministic, va.mel_cap)
+            va.x, va.mel_valid, deterministic, va.mel_cap, sp_mesh=sp_mesh)
         mel = nn.Dense(self.cfg.n_mel_channels, name="mel_linear")(x)
         postnet_in = jnp.where(va.mel_cap[None, :, None], mel, 0.0)
         postnet_mel = PostNet(

@@ -67,7 +67,8 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
                  key_valid: jnp.ndarray, deterministic: bool = True,
                  src_lens: Optional[jnp.ndarray] = None,
-                 mel_lens: Optional[jnp.ndarray] = None
+                 mel_lens: Optional[jnp.ndarray] = None,
+                 sp_mesh=None, sp_axis: str = "data"
                  ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         from ..ops.pallas import flash_attention, pallas_interpret, use_pallas
         from ..ops.pallas.alignment import alignment_attention
@@ -91,6 +92,17 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, key_valid, src_lens, mel_lens,
                 self.guided_sigma, 256, pallas_interpret())
             attn = {"argmax": idx, "guided_num": gnum}
+        elif sp_mesh is not None and not self.need_attn:
+            # sequence parallelism: ring attention with the time axis
+            # sharded over the mesh (ModelConfig.sequence_parallel).  Only
+            # the O(T²) self-attention is distributed; the surrounding
+            # linear/conv ops stay on the jit-sharded path.
+            from ..parallel.sequence import (
+                sequence_parallel_self_attention)
+            attn = None
+            # ring_self_attention applies the 1/sqrt(d_k) temperature itself
+            out = sequence_parallel_self_attention(
+                sp_mesh, q, k, v, key_valid, seq_axis=sp_axis)
         elif not self.need_attn and use_pallas():
             attn = None
             out = flash_attention(q, k, v, key_valid, 256, 256,
@@ -167,7 +179,8 @@ class FFTBlock(nn.Module):
                  deterministic: bool = True,
                  cap_valid: Optional[jnp.ndarray] = None,
                  src_lens: Optional[jnp.ndarray] = None,
-                 mel_lens: Optional[jnp.ndarray] = None
+                 mel_lens: Optional[jnp.ndarray] = None,
+                 sp_mesh=None, sp_axis: str = "data"
                  ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         key_input = x if kv is None else kv
         key_valid = q_valid if kv_valid is None else kv_valid
@@ -177,7 +190,8 @@ class FFTBlock(nn.Module):
             alignment_extras=self.alignment_extras,
             guided_sigma=self.guided_sigma, name="attn")(
                 x, key_input, key_valid, deterministic,
-                src_lens=src_lens, mel_lens=mel_lens)
+                src_lens=src_lens, mel_lens=mel_lens,
+                sp_mesh=sp_mesh if kv is None else None, sp_axis=sp_axis)
         out = jnp.where(q_valid[:, :, None], out, 0.0)
         out = ConvFFN(self.d_model, self.d_inner, self.kernel_sizes,
                       self.dropout, dtype=self.dtype,

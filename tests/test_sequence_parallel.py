@@ -65,3 +65,88 @@ class TestRingAttention:
         ref = _oracle(q, k, v, valid)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestModelSequenceParallel:
+    """``ModelConfig.sequence_parallel`` wires ring attention into the
+    MelDecoder (VERDICT.md round-2 Missing #2): the FULL model's output on
+    an 8-device mesh must equal the single-device dense path."""
+
+    def _cfg(self, sequence_parallel):
+        from smart_nar_fast_tts_tpu.config import (
+            FeatureStats, ModelConfig, PreprocessConfig, TransformerConfig)
+        cfg = ModelConfig(
+            transformer=TransformerConfig(
+                encoder_layer=2, decoder_layer=2, encoder_head=2,
+                decoder_head=2, encoder_hidden=32, decoder_hidden=32,
+                conv_filter_size=64),
+            max_seq_len=64, sequence_parallel=sequence_parallel)
+        pre = PreprocessConfig(stats=FeatureStats())
+        return cfg, pre
+
+    def test_full_model_sp_matches_dense(self):
+        from smart_nar_fast_tts_tpu.models import FastSpeech2Align
+
+        cfg_sp, pre = self._cfg(True)
+        cfg_dense, _ = self._cfg(False)
+        model_sp = FastSpeech2Align(cfg_sp, pre)
+        model_dense = FastSpeech2Align(cfg_dense, pre)
+        mesh = make_mesh((8,), ("data",))
+
+        rng = np.random.RandomState(0)
+        B, L, T = 2, 12, 64           # T divides the 8-way mesh axis
+        texts = jnp.asarray(rng.randint(2, 300, size=(B, L)), jnp.int32)
+        src_lens = jnp.asarray([L, L - 3], jnp.int32)
+        variables = model_dense.init(jax.random.PRNGKey(0), texts, src_lens,
+                                     max_mel_len=T)
+        # same parameter structure: the attention-path choice is stateless
+        out_dense = model_dense.apply(variables, texts, src_lens,
+                                      max_mel_len=T, deterministic=True)
+        out_sp = model_sp.apply(variables, texts, src_lens, max_mel_len=T,
+                                deterministic=True, sp_mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out_sp.postnet_mel),
+                                   np.asarray(out_dense.postnet_mel),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out_sp.mel_lens),
+                                      np.asarray(out_dense.mel_lens))
+
+    def test_sp_training_path_matches_dense(self):
+        from smart_nar_fast_tts_tpu.models import FastSpeech2Align
+
+        cfg_sp, pre = self._cfg(True)
+        cfg_dense, _ = self._cfg(False)
+        model_sp = FastSpeech2Align(cfg_sp, pre)
+        model_dense = FastSpeech2Align(cfg_dense, pre)
+        mesh = make_mesh((8,), ("data",))
+
+        rng = np.random.RandomState(1)
+        B, L, T = 2, 10, 32
+        texts = jnp.asarray(rng.randint(2, 300, size=(B, L)), jnp.int32)
+        src_lens = jnp.asarray([L, L - 2], jnp.int32)
+        mels = jnp.asarray(rng.randn(B, T, 80).astype(np.float32))
+        mel_lens = jnp.asarray([T, T - 5], jnp.int32)
+        pitch = jnp.asarray(rng.uniform(-1, 1, size=(B, T)), jnp.float32)
+        energy = jnp.asarray(rng.uniform(0, 2, size=(B, T)), jnp.float32)
+        kw = dict(mels=mels, mel_lens=mel_lens, p_targets=pitch,
+                  e_targets=energy, deterministic=True)
+        variables = model_dense.init(jax.random.PRNGKey(0), texts, src_lens,
+                                     **kw)
+        out_dense = model_dense.apply(variables, texts, src_lens, **kw)
+        out_sp = model_sp.apply(variables, texts, src_lens, sp_mesh=mesh,
+                                **kw)
+        np.testing.assert_allclose(np.asarray(out_sp.postnet_mel),
+                                   np.asarray(out_dense.postnet_mel),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_sp_without_mesh_raises(self):
+        from smart_nar_fast_tts_tpu.models import FastSpeech2Align
+
+        cfg_sp, pre = self._cfg(True)
+        model = FastSpeech2Align(cfg_sp, pre)
+        rng = np.random.RandomState(2)
+        texts = jnp.asarray(rng.randint(2, 300, size=(1, 8)), jnp.int32)
+        src_lens = jnp.asarray([8], jnp.int32)
+        import pytest
+        with pytest.raises(ValueError, match="sp_mesh"):
+            model.init(jax.random.PRNGKey(0), texts, src_lens,
+                       max_mel_len=64)
