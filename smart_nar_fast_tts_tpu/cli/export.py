@@ -79,11 +79,18 @@ def main(argv=None) -> None:
         generator, gen_variables = load_hifigan(args.vocoder_ckpt)
 
     platforms = args.platforms.split(",") if args.platforms else None
+    # long-form serving: export the acoustic grid over every serving frame
+    # capacity; vocoder buckets get the long caps too so the wav stage can
+    # cover whatever the acoustic stage produced
+    mel_caps = sorted(set(cfg.train.serving_mel_caps)
+                      | {cfg.model.max_seq_len})
+    voc_buckets = sorted(set(cfg.train.mel_buckets) | set(mel_caps))
     manifest = export_serving_artifacts(
         args.out_dir, model, variables,
         text_buckets=cfg.train.text_buckets,
-        mel_buckets=cfg.train.mel_buckets,
+        mel_buckets=voc_buckets,
         batch_size=args.batch_size, max_mel_len=cfg.model.max_seq_len,
+        mel_caps=mel_caps,
         generator=generator, gen_variables=gen_variables,
         stream_chunk=args.stream_chunk,
         p_control=args.pitch_control, e_control=args.energy_control,
@@ -91,8 +98,9 @@ def main(argv=None) -> None:
         provenance={"ckpt_path": cfg.train.ckpt_path,
                     "ckpt_step": restored,
                     "vocoder_ckpt": args.vocoder_ckpt or ""})
-    n = len(manifest["acoustic"]) + len(manifest.get("vocoder", [])) \
-        + (1 if "streaming" in manifest else 0)
+    n = (len(manifest["probe"]) + len(manifest["acoustic"])
+         + len(manifest.get("vocoder", []))
+         + (1 if "streaming" in manifest else 0))
     print(f"exported {n} programs to {args.out_dir} "
           f"(ckpt step {restored}, platforms {manifest['platforms']})")
 

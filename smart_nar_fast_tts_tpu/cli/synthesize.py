@@ -90,11 +90,23 @@ def main(argv=None) -> None:
     if restored == 0:
         print("WARNING: no checkpoint found; synthesizing with random init")
 
-    fwd = jax.jit(lambda params, bs, texts, src_lens, speakers: model.apply(
-        {"params": params, "batch_stats": bs}, texts, src_lens,
-        speakers=speakers, max_mel_len=cfg.model.max_seq_len,
-        p_control=args.pitch_control, e_control=args.energy_control,
-        d_control=args.duration_control, deterministic=True))
+    fwds: dict[int, object] = {}
+
+    def fwd_at(cap: int):
+        if cap not in fwds:
+            fwds[cap] = jax.jit(
+                lambda params, bs, texts, src_lens, speakers, _c=cap:
+                model.apply(
+                    {"params": params, "batch_stats": bs}, texts, src_lens,
+                    speakers=speakers, max_mel_len=_c,
+                    p_control=args.pitch_control,
+                    e_control=args.energy_control,
+                    d_control=args.duration_control, deterministic=True))
+        return fwds[cap]
+
+    caps = sorted(set(cfg.train.serving_mel_caps)
+                  | {cfg.model.max_seq_len})
+    fwd = _auto_cap_forward(fwd_at, caps)
     vocode = _make_vocoder(cfg, args.vocoder_ckpt, args.stream_chunk)
     os.makedirs(cfg.train.result_path, exist_ok=True)
 
@@ -117,6 +129,30 @@ def main(argv=None) -> None:
         n = _synthesize_source(cfg, args, state, fwd, vocode)
         print(f"wrote {n} utterances to {cfg.train.result_path} "
               f"(ckpt step {restored})")
+
+
+def _auto_cap_forward(fwd_at, caps: list[int]):
+    """Long-form serving: run at the smallest frame capacity, read the
+    predicted total duration (``duration_rounded`` is exact regardless of
+    the capacity — it is computed before the length regulator clips), and
+    re-run at the smallest cap that fits.  Fails loudly past the largest
+    cap instead of truncating speech."""
+
+    def fwd(*fargs):
+        out = fwd_at(caps[0])(*fargs)
+        need = int(np.asarray(out.duration_rounded).sum(axis=-1).max())
+        cap = next((c for c in caps if need <= c), None)
+        if cap is None:
+            raise SystemExit(
+                f"predicted mel length {need} frames exceeds the largest "
+                f"serving capacity ({caps[-1]}); raise "
+                "train.serving_mel_caps (truncating would drop speech)")
+        if cap != caps[0]:
+            print(f"  long utterance: {need} frames -> capacity {cap}")
+            out = fwd_at(cap)(*fargs)
+        return out
+
+    return fwd
 
 
 def _synthesize_source(cfg, args, state, fwd, vocode) -> int:

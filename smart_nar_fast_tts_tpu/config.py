@@ -235,6 +235,13 @@ class TrainConfig:
     # group_size=4 at train.py:31) into fixed XLA-friendly shapes.
     text_buckets: tuple[int, ...] = (32, 64, 128, 192)
     mel_buckets: tuple[int, ...] = (256, 512, 768, 1000)
+    # Serving-side mel frame capacities: synthesis runs at the smallest cap,
+    # reads the predicted total duration, and re-runs at the smallest cap
+    # that fits — so utterances past max_seq_len keep their speech instead
+    # of being cut at 1000 frames (~11.6 s) like the reference, which
+    # regenerates PE beyond max_seq_len but still truncates the regulator
+    # output (transformer/Models.py:218-225, model/modules.py:228).
+    serving_mel_caps: tuple[int, ...] = (1000, 2048, 4096, 8192)
     # Mesh axes: data-parallel size is filled at runtime from the mesh.
     mesh_shape: tuple[int, ...] = (-1, 1)          # (data, model)
     mesh_axis_names: tuple[str, ...] = ("data", "model")

@@ -59,6 +59,12 @@ class HiFiGANConfig:
     # (params stay float32; the final conv+tanh stays float32 for audio
     # fidelity).  Default float32 matches torch-checkpoint parity.
     compute_dtype: str = "float32"
+    # Transposed-conv lowering: "polyphase" regroups the kernel by output
+    # phase and runs ONE stride-1 dense conv + depth-to-time reshape — no
+    # zero-dilated input ever reaches the MXU.  "dilated" is the classic
+    # lhs-dilation form (gradient-of-conv); same math, kept for A/B
+    # benchmarking.  Both read the identical (k, in, out) kernel param.
+    transpose_impl: str = "polyphase"
 
     def __post_init__(self):
         # Coerce any list-valued Sequence fields to tuples so every
@@ -89,6 +95,7 @@ class HiFiGANConfig:
             "num_mels": self.n_mels,
             "sampling_rate": self.sampling_rate,
             "compute_dtype": self.compute_dtype,
+            "transpose_impl": self.transpose_impl,
         }
 
     @classmethod
@@ -96,7 +103,8 @@ class HiFiGANConfig:
         keep = {k: d[k] for k in (
             "resblock", "upsample_rates", "upsample_kernel_sizes",
             "upsample_initial_channel", "resblock_kernel_sizes",
-            "resblock_dilation_sizes", "compute_dtype") if k in d}
+            "resblock_dilation_sizes", "compute_dtype",
+            "transpose_impl") if k in d}
         if "num_mels" in d:
             keep["n_mels"] = d["num_mels"]
         if "sampling_rate" in d:
@@ -121,35 +129,79 @@ class Conv1d(nn.Module):
                        name="conv")(x)
 
 
-class ConvTranspose1d(nn.Module):
-    """Torch-semantics transposed conv via lhs-dilated conv.
+def _polyphase_taps(k: int, u: int, p: int):
+    """Tap table of the torch transposed conv ``y[u·t+r] = Σ x[t+m]·K[i]``.
 
-    ``ConvTranspose1d(stride=u, padding=p)`` ≡ dilate the input by ``u``,
-    then a stride-1 conv with edge padding ``k-1-p``.  Output length is
-    ``(T-1)·u − 2p + k`` which equals ``T·u`` for the V1 stage shapes
-    (p = (k−u)//2).  Kernel param layout is (k, in, out) = WIO.
+    Derivation: with the u-dilated input ``xd`` and edge pad ``k-1-p`` the
+    transposed conv is ``y[n] = Σ_i xd[n+i-(k-1-p)]·K[i]``; the dilated
+    entry is real iff ``(n+i-(k-1-p)) % u == 0``, giving per output phase
+    ``r = n % u`` exactly ``⌈k/u⌉``-ish taps ``(m_offset, kernel_index)``.
+    Returns ``(taps, m_min, m_max)`` with taps grouped per phase.
+    """
+    off = k - 1 - p
+    taps = []                                  # (phase r, m_offset, kern i)
+    for r in range(u):
+        for i in range(k):
+            if (r + i - off) % u == 0:
+                taps.append((r, (r + i - off) // u, i))
+    m_min = min(m for _, m, _ in taps)
+    m_max = max(m for _, m, _ in taps)
+    return taps, m_min, m_max
+
+
+class ConvTranspose1d(nn.Module):
+    """Torch-semantics transposed conv; kernel param layout (k, in, out).
+
+    Output length is ``(T-1)·u − 2p + k`` = ``T·u`` for the V1 stage shapes
+    (p = (k−u)//2).  Two mathematically identical lowerings:
+
+    - ``polyphase`` (default): regroup the kernel by output phase into
+      ``(m_span, C_in, u·C_out)`` and run ONE stride-1 dense conv over the
+      undilated input, then depth-to-time reshape.  Every MXU multiply
+      touches real data — the classic lhs-dilation form makes the backend
+      slide a k-tap window over a u-dilated input where only ~k/u taps are
+      nonzero.
+    - ``dilated``: the lhs-dilation (gradient-of-conv) form, for A/B.
     """
 
     features: int
     kernel_size: int
     stride: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "polyphase"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, u = self.kernel_size, self.stride
         p = (k - u) // 2
+        cin, cout = x.shape[-1], self.features
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (k, x.shape[-1], self.features))
+            (k, cin, cout))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.impl == "dilated" or u == 1:
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(u,),
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            return y + bias.astype(self.dtype)
+
+        taps, m_min, m_max = _polyphase_taps(k, u, p)
+        span = m_max - m_min + 1
+        # regrouped kernel: W[m - m_min, :, r*cout:(r+1)*cout] = K[i]
+        wp = jnp.zeros((span, cin, u * cout), kernel.dtype)
+        for r, m, i in taps:
+            wp = wp.at[m - m_min, :, r * cout:(r + 1) * cout].set(kernel[i])
+        xpad = jnp.pad(x.astype(self.dtype),
+                       ((0, 0), (-m_min, m_max), (0, 0)))
         y = lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(u,),
-            dimension_numbers=("NWC", "WIO", "NWC"))
+            xpad, wp.astype(self.dtype), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+        B, T = x.shape[0], x.shape[1]
+        y = y.reshape(B, T * u, cout)
         return y + bias.astype(self.dtype)
 
 
@@ -212,7 +264,8 @@ class HiFiGANGenerator(nn.Module):
                                        c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, dtype=dtype, name=f"ups_{i}")(x)
+            x = ConvTranspose1d(ch, k, u, dtype=dtype,
+                                impl=c.transpose_impl, name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):

