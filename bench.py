@@ -26,12 +26,16 @@ true data dependencies, one scalar fetched to host, per-iteration time
 taken as the slope between two trip counts so RTT/dispatch overhead
 cancels.
 
-Audio seconds are the valid frames produced at hop 256 / 22.05 kHz.  With
-``SMART_TTS_BENCH_CKPT=<orbax dir>`` the acoustic model loads trained
-parameters; otherwise it runs random-init with the duration predictor's
-output bias set to a realistic ~6.7 frames/phoneme (LJSpeech average) so
-predicted lengths — and therefore the audio-seconds denominator — are
-honest rather than the random-init zero.
+Audio seconds are the valid frames produced at hop 256 / 22.05 kHz.
+Parameters: the committed trained flagship (``benchmarks/results/
+flagship_params.npz``, written by ``benchmarks.train_flagship`` from a
+5k-step run on the chip) loads by default, with bench texts drawn from the
+trained phone inventory; ``SMART_TTS_BENCH_CKPT=<orbax dir | npz>``
+overrides, and ``SMART_TTS_BENCH_CKPT=''`` (empty) forces random-init with
+a duration-bias of ~6.7 frames/phoneme (the round-2 methodology).
+
+``extra.long`` measures one 256-phoneme utterance at a 4096-frame decoder
+capacity — past the reference's hard 1000-frame ceiling (SURVEY §5.7).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
 with vs_baseline = target_rtf / measured_rtf (>1 = beating the target).
@@ -50,6 +54,14 @@ TARGET_RTF = 0.01
 HOP, SR = 256, 22050
 B, L, T_CAP = 8, 128, 1000
 MEL_BUCKETS = (128, 256, 384, 512, 640, 768, 1000)
+# long-form serving shape (VERDICT round-2 item 2): one utterance past the
+# reference's 1000-frame ceiling, decoder attention + vocoder at 4096
+L_LONG, T_LONG = 256, 4096
+FLAGSHIP_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "results",
+                            "flagship_params.npz")
+FLAGSHIP_META = os.path.join(os.path.dirname(FLAGSHIP_NPZ),
+                             "flagship_meta.json")
 
 
 def _bucket(n: int) -> int:
@@ -81,15 +93,40 @@ def main():
     from smart_nar_fast_tts_tpu.models import FastSpeech2Align
     from smart_nar_fast_tts_tpu.vocoder import HiFiGANConfig, HiFiGANGenerator
 
-    pre = PreprocessConfig(stats=FeatureStats(
-        pitch_min=71.0, pitch_max=799.8, pitch_mean=207.4, pitch_std=46.5,
-        energy_min=0.018, energy_max=314.9, energy_mean=37.3,
-        energy_std=25.1))
+    # parameter source: explicit env override > committed trained flagship
+    # (benchmarks/train_flagship.py writes f16-stored params + the corpus
+    # stats + trained phone inventory) > random init with duration bias
+    ckpt_env = os.environ.get("SMART_TTS_BENCH_CKPT")
+    ckpt_dir = ckpt_env if ckpt_env is not None else (
+        FLAGSHIP_NPZ if os.path.exists(FLAGSHIP_NPZ) else "")
+    meta = None
+    if ckpt_dir.endswith(".npz") and os.path.exists(FLAGSHIP_META):
+        with open(FLAGSHIP_META) as f:
+            meta = json.load(f)
+
+    if meta is not None:
+        pre = PreprocessConfig(stats=FeatureStats(**meta["stats"]))
+    else:
+        pre = PreprocessConfig(stats=FeatureStats(
+            pitch_min=71.0, pitch_max=799.8, pitch_mean=207.4,
+            pitch_std=46.5, energy_min=0.018, energy_max=314.9,
+            energy_mean=37.3, energy_std=25.1))
 
     rng = np.random.default_rng(0)
-    texts = jnp.asarray(rng.integers(2, 300, size=(B, L)), jnp.int32)
+    if meta is not None:
+        # texts drawn from the phones the model was trained on — random
+        # vocabulary ids would hit untrained embeddings
+        inv = np.asarray(meta["phone_ids"], np.int32)
+        texts = jnp.asarray(rng.choice(inv, size=(B, L)), jnp.int32)
+        texts_long = jnp.asarray(rng.choice(inv, size=(1, L_LONG)),
+                                 jnp.int32)
+    else:
+        texts = jnp.asarray(rng.integers(2, 300, size=(B, L)), jnp.int32)
+        texts_long = jnp.asarray(rng.integers(2, 300, size=(1, L_LONG)),
+                                 jnp.int32)
     src_lens = jnp.asarray(
         np.clip(rng.integers(L - 32, L + 1, size=(B,)), 1, L), jnp.int32)
+    src_lens_long = jnp.asarray([L_LONG], jnp.int32)
 
     def build(compute_dtype):
         model = FastSpeech2Align(ModelConfig(compute_dtype=compute_dtype),
@@ -97,9 +134,14 @@ def main():
         voc = HiFiGANGenerator(HiFiGANConfig(compute_dtype=compute_dtype))
         variables = model.init(jax.random.PRNGKey(0), texts, src_lens,
                                max_mel_len=T_CAP)
-        ckpt_dir = os.environ.get("SMART_TTS_BENCH_CKPT")
         params_src = "random_init+duration_bias"
-        if ckpt_dir:
+        if ckpt_dir.endswith(".npz"):
+            from benchmarks.train_flagship import load_variables_npz
+            variables = load_variables_npz(ckpt_dir, variables)
+            steps = meta["steps"] if meta else "?"
+            params_src = (f"checkpoint:{os.path.relpath(ckpt_dir)}"
+                          f"@{steps} (trained flagship, f16-stored)")
+        elif ckpt_dir:
             from smart_nar_fast_tts_tpu.training.checkpoint import (
                 CheckpointManager)
             from smart_nar_fast_tts_tpu.training.schedule import (
@@ -187,6 +229,43 @@ def main():
                                            6)
     else:
         extra["fused_fullcap_rtf"] = "skipped (deadline)"
+
+    # -- long-form serving: one utterance past the reference's 1000-frame
+    # ceiling (decoder attention + vocoder at T_LONG) -------------------------
+    if time_left() > 240:
+        fwd_long = jax.jit(lambda v, t, s: model.apply(
+            v, t, s, max_mel_len=T_LONG, deterministic=True))
+        out_l = fwd_long(variables, texts_long, src_lens_long)
+        n_l = int(np.asarray(out_l.mel_lens)[0])
+        audio_l = n_l * HOP / SR
+        long_caps = [c for c in (1024, 2048, 3072, T_LONG) if c >= n_l]
+        cap_l = long_caps[0] if long_caps else T_LONG
+        mel_l = jnp.asarray(np.asarray(out_l.postnet_mel)[:, :cap_l])
+
+        def mel_long_step(c):
+            t = bm.taint(texts_long, c)
+            o = model.apply(variables, t, src_lens_long,
+                            max_mel_len=T_LONG, deterministic=True)
+            return bm.collapse(o.postnet_mel, c)
+
+        def voc_long_step(c):
+            m = bm.taint(mel_l, c)
+            return bm.collapse(voc.apply(voc_vars, m), c)
+
+        m_mel_l = bm.seconds_per_iteration(mel_long_step, k_hi=9)
+        m_voc_l = bm.seconds_per_iteration(voc_long_step, k_hi=9)
+        e2e_l = m_mel_l.seconds + m_voc_l.seconds
+        extra["long"] = {
+            "rtf": round(e2e_l / audio_l, 6),
+            "vs_baseline": round(TARGET_RTF * audio_l / e2e_l, 3),
+            "phonemes": L_LONG, "mel_cap": T_LONG,
+            "frames": n_l, "audio_seconds": round(audio_l, 2),
+            "voc_bucket": cap_l,
+            "mel_ms": round(m_mel_l.seconds * 1e3, 2),
+            "voc_ms": round(m_voc_l.seconds * 1e3, 2),
+        }
+    else:
+        extra["long"] = "skipped (deadline)"
 
     # -- streaming serving: time-to-first-audio at B=1 -----------------------
     # TTFA = one B=1 mel forward (stage A must finish before vocoding in the

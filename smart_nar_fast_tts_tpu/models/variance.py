@@ -180,11 +180,18 @@ class VarianceAdaptor(nn.Module):
 
         weights = None
         if self.cfg.upsampling == "gaussian":
+            # dense (B, L, T) weight matmul — the measured winner on TPU
+            # at model shapes (benchmarks/results/upsample_ab.json); the
+            # unused weights output is dead-code-eliminated under jit
+            x, mel_len, weights = gaussian_upsample(
+                x, duration_rounded, max_len, src_valid.astype(x.dtype),
+                sigma=self.cfg.gaussian_sigma)
+        elif self.cfg.upsampling == "gaussian_banded":
             from ..ops.pallas import (gaussian_upsample_banded,
                                       pallas_interpret, use_pallas)
             if use_pallas():
                 # band-skipping Pallas kernel: no (B, L, T) weight tensor
-                # in HBM (the weights output is debug-only)
+                # in HBM — for capacities where dense weights would not fit
                 x, mel_len = gaussian_upsample_banded(
                     x, duration_rounded, max_len,
                     src_valid.astype(x.dtype),

@@ -59,12 +59,15 @@ class HiFiGANConfig:
     # (params stay float32; the final conv+tanh stays float32 for audio
     # fidelity).  Default float32 matches torch-checkpoint parity.
     compute_dtype: str = "float32"
-    # Transposed-conv lowering: "polyphase" regroups the kernel by output
-    # phase and runs ONE stride-1 dense conv + depth-to-time reshape — no
-    # zero-dilated input ever reaches the MXU.  "dilated" is the classic
-    # lhs-dilation form (gradient-of-conv); same math, kept for A/B
-    # benchmarking.  Both read the identical (k, in, out) kernel param.
-    transpose_impl: str = "polyphase"
+    # Transposed-conv lowering.  "dilated" (default) is the lhs-dilation
+    # form; "polyphase" regroups the kernel by output phase into ONE
+    # stride-1 dense conv + depth-to-time reshape.  Same math, same
+    # (k, in, out) kernel param; measured on a v5e chip the dilated form
+    # wins (benchmarks/results/transpose_ab.json: 49.1 vs 58.4 ms f32,
+    # 36.9 vs 40.3 ms bf16 for the full V1 generator at B8xT512) — XLA's
+    # TPU emitter already skips the dilation zeros, and polyphase pays for
+    # its pad+reshape.  Kept selectable so the A/B stays reproducible.
+    transpose_impl: str = "dilated"
 
     def __post_init__(self):
         # Coerce any list-valued Sequence fields to tuples so every

@@ -161,16 +161,45 @@ class TestRealSpeechSanity:
 
     @pytest.mark.parametrize("name", ["1.wav", "3.wav", "5.wav"])
     def test_distribution(self, name):
+        # bands tightened around the values measured when the golden
+        # contours were pinned (voiced 0.71-0.80, median 202-224 Hz —
+        # see TestSelfGolden): a tracker drifting ~10 Hz or mis-gating
+        # voicing now fails (VERDICT.md round-2 Weak #4)
         wav, sr = self._load(name)
         f0 = estimate_f0_world_native(wav, sr, HOP)
         v = f0 > 0
-        assert 0.3 < v.mean() < 0.95, f"voiced fraction {v.mean():.2f}"
+        assert 0.6 < v.mean() < 0.9, f"voiced fraction {v.mean():.2f}"
         med = np.median(f0[v])
-        assert 80.0 < med < 400.0, f"median F0 {med:.0f} Hz"
+        assert 190.0 < med < 240.0, f"median F0 {med:.0f} Hz"
         # contour smoothness within voiced runs: jumpy tracks (octave
         # errors) have large median |ΔF0|
         dv = np.abs(np.diff(f0))[(v[1:] & v[:-1])]
         assert np.median(dv) < 8.0, f"median |dF0| {np.median(dv):.1f} Hz"
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "data", "f0_golden")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_WAVS),
+                    reason="reference audio samples not present")
+class TestSelfGolden:
+    """Pinned contours: the tracker's output on the 5 reference speech
+    samples, committed as .npy (VERDICT.md round-2 item 7).  Any silent
+    numerical regression of DIO/StoneMask — window changes, candidate
+    scoring, voicing gate — changes these arrays and fails here."""
+
+    @pytest.mark.parametrize("name", ["1", "2", "3", "4", "5"])
+    def test_contour_matches_pinned(self, name):
+        from smart_nar_fast_tts_tpu.data.wavio import load_wav
+        from smart_nar_fast_tts_tpu.data.world_f0 import estimate_f0_world
+        golden = np.load(os.path.join(GOLDEN_DIR, f"{name}.npy"))
+        wav, sr = load_wav(os.path.join(REF_WAVS, f"{name}.wav"))
+        f0 = estimate_f0_world(np.asarray(wav, np.float64), sr, HOP)
+        assert f0.shape == golden.shape
+        # same voicing decisions everywhere, same Hz to f32 resolution
+        np.testing.assert_array_equal(f0 > 0, golden > 0)
+        np.testing.assert_allclose(f0.astype(np.float32), golden,
+                                   rtol=1e-6, atol=1e-4)
 
 
 def _has_pyworld():

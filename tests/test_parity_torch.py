@@ -119,6 +119,7 @@ def converted(reference_model):
     # log pitch quantization to match the reference fixture's model_config
     # (valid here: STATS carries unnormalized positive-Hz pitch)
     cfg = ModelConfig(
+        upsampling="hard",     # reference parity: torch runs the hard regulator
         duration_extraction="buggy",
         variance_embedding=VarianceEmbeddingConfig(
             pitch_quantization="log"))
@@ -387,7 +388,8 @@ def test_training_forward_parity_shipped_config(reference_model_shipped):
     shipped-style normalized stats + linear pitch quantization."""
     ref, torch = reference_model_shipped
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    cfg = ModelConfig(duration_extraction="buggy")   # linear pitch default
+    cfg = ModelConfig(duration_extraction="buggy",
+                      upsampling="hard")     # linear pitch default; hard = parity
     variables = torch_state_dict_to_variables(sd, cfg)
     pre = PreprocessConfig(stats=STATS_SHIPPED)
     model = FastSpeech2Align(cfg, pre)
@@ -471,6 +473,7 @@ def test_training_forward_parity_phoneme_level(reference_model_phoneme):
     ref, torch = reference_model_phoneme
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     cfg = ModelConfig(
+        upsampling="hard",     # reference parity: torch runs the hard regulator
         duration_extraction="buggy",
         variance_embedding=VarianceEmbeddingConfig(
             pitch_quantization="log"))

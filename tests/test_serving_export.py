@@ -189,6 +189,94 @@ def test_loader_needs_no_model_classes(artifact):
     assert set(got.keys()) >= {"postnet_mel", "mel_lens"}
 
 
+class TestTrainedCheckpointExport:
+    """VERDICT round-2 Missing #3: the full loop train step → Orbax save →
+    restore → export → ExportedTTS.synthesize must equal live-model
+    synthesis on that same checkpoint."""
+
+    def test_ckpt_to_exported_synthesis_parity(self, tmp_path):
+        from smart_nar_fast_tts_tpu.config import OptimizerConfig
+        from smart_nar_fast_tts_tpu.models import FastSpeech2Loss
+        from smart_nar_fast_tts_tpu.training import (Batch,
+                                                     create_train_state,
+                                                     make_optimizer,
+                                                     make_train_step)
+        from smart_nar_fast_tts_tpu.training.checkpoint import (
+            CheckpointManager)
+        from smart_nar_fast_tts_tpu.vocoder import hifigan_infer
+
+        model, pre = _tiny_model()
+        loss = FastSpeech2Loss(pre)
+        rng = np.random.default_rng(3)
+        B, L, T = 2, 8, 32
+        batch = Batch(
+            texts=jnp.asarray(rng.integers(2, 300, (B, L)), jnp.int32),
+            src_lens=jnp.full((B,), L, jnp.int32),
+            mels=jnp.asarray(rng.normal(size=(B, T, 80)), jnp.float32),
+            mel_lens=jnp.full((B,), T, jnp.int32),
+            pitch=jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32),
+            energy=jnp.asarray(rng.uniform(0, 2, (B, T)), jnp.float32))
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.texts, batch.src_lens,
+            mels=batch.mels, mel_lens=batch.mel_lens,
+            p_targets=batch.pitch, e_targets=batch.energy)
+        state = create_train_state(
+            variables, make_optimizer(OptimizerConfig(warm_up_step=5), 16))
+        step_fn = make_train_step(model, loss)
+        for _ in range(3):
+            state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+
+        ckpt_dir = str(tmp_path / "ckpt")
+        mngr = CheckpointManager(ckpt_dir)
+        assert mngr.save(state, force=True)
+        mngr.close()
+
+        # fresh restore, as a server process would
+        fresh = create_train_state(
+            model.init(jax.random.PRNGKey(9), batch.texts, batch.src_lens,
+                       mels=batch.mels, mel_lens=batch.mel_lens,
+                       p_targets=batch.pitch, e_targets=batch.energy),
+            make_optimizer(OptimizerConfig(warm_up_step=5), 16))
+        mngr = CheckpointManager(ckpt_dir)
+        restored, _ = mngr.restore(fresh)
+        mngr.close()
+        assert int(np.asarray(restored.step)) == 3
+        rvars = {"params": restored.params,
+                 "batch_stats": restored.batch_stats}
+
+        vcfg = HiFiGANConfig(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=8, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 2),), n_mels=80)
+        gen = HiFiGANGenerator(vcfg)
+        gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+
+        out_dir = str(tmp_path / "art")
+        export_serving_artifacts(
+            out_dir, model, rvars, text_buckets=(8,), mel_buckets=(64,),
+            batch_size=1, max_mel_len=64,
+            generator=gen, gen_variables=gen_vars, stream_chunk=16,
+            provenance={"ckpt": ckpt_dir, "step": 3})
+        tts = ExportedTTS(out_dir)
+
+        ids = np.asarray(rng.integers(2, 300, (5,)), np.int32)
+        wav_exported = tts.synthesize(ids)
+
+        texts = np.zeros((1, 8), np.int32)
+        texts[0, :5] = ids
+        live = model.apply(rvars, jnp.asarray(texts),
+                           jnp.asarray([5], jnp.int32), max_mel_len=64,
+                           deterministic=True)
+        t = max(int(live.mel_lens[0]), 1)
+        mel = np.zeros((1, 64, 80), np.float32)
+        mel[0, :t] = np.asarray(live.postnet_mel[0, :t])
+        wav_live = np.asarray(
+            hifigan_infer(gen, gen_vars, mel, max_wav_value=1.0)[0]
+        )[: t * vcfg.hop_length]
+        assert wav_exported.shape == wav_live.shape
+        np.testing.assert_allclose(wav_exported, wav_live, atol=1e-5)
+
+
 class TestMultiSpeaker:
     """VERDICT round-2 Missing #4: speaker identity must survive the
     export/serving surface end to end."""

