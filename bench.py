@@ -132,8 +132,14 @@ def main():
         model = FastSpeech2Align(ModelConfig(compute_dtype=compute_dtype),
                                  pre)
         voc = HiFiGANGenerator(HiFiGANConfig(compute_dtype=compute_dtype))
-        variables = model.init(jax.random.PRNGKey(0), texts, src_lens,
-                               max_mel_len=T_CAP)
+        # init on the TRAINING path so the param tree includes the
+        # MelEncoder — checkpoints store the full tree, and the npz loader
+        # maps leaves by flatten order
+        variables = model.init(
+            jax.random.PRNGKey(0), texts[:1], src_lens[:1],
+            mels=jnp.zeros((1, 8, 80)),
+            mel_lens=jnp.asarray([8], jnp.int32),
+            p_targets=jnp.zeros((1, 8)), e_targets=jnp.zeros((1, 8)))
         params_src = "random_init+duration_bias"
         if ckpt_dir.endswith(".npz"):
             from benchmarks.train_flagship import load_variables_npz

@@ -47,7 +47,10 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=8,
                         help="batch size for --source mode")
     parser.add_argument("--restore_step", type=int, default=None)
-    parser.add_argument("--speaker_id", type=int, default=0)
+    parser.add_argument("--speaker_id", type=int, default=None,
+                        help="speaker for --text mode (default 0); in "
+                             "--source mode overrides the per-utterance "
+                             "metadata speaker column when given")
     parser.add_argument("--pitch_control", type=float, default=1.0)
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
@@ -121,7 +124,7 @@ def main(argv=None) -> None:
             np.int32)
         out = fwd(state.params, state.batch_stats, jnp.asarray(ids)[None],
                   jnp.asarray([len(ids)], jnp.int32),
-                  jnp.asarray([args.speaker_id], jnp.int32))
+                  jnp.asarray([args.speaker_id or 0], jnp.int32))
         base = _write_outputs(cfg, args.text[:32].replace(" ", "_"),
                               args.text, out, 0, vocode)
         print(f"wrote {base}.wav and {base}.png (ckpt step {restored})")
@@ -188,7 +191,8 @@ def _synthesize_source(cfg, args, state, fwd, vocode) -> int:
                 t = item["text"]
                 texts[j, :len(t)] = t
                 src_lens[j] = len(t)
-                speakers[j] = item["speaker"]
+                speakers[j] = (args.speaker_id if args.speaker_id is not None
+                               else item["speaker"])
             src_lens = np.maximum(src_lens, 1)      # masked tail slots
             out = fwd(state.params, state.batch_stats, jnp.asarray(texts),
                       jnp.asarray(src_lens), jnp.asarray(speakers))
