@@ -9,7 +9,8 @@ from .losses import (discriminator_loss, feature_matching_loss,
                      generator_adversarial_loss, mel_l1_loss)
 from .melgan import (MelGANConfig, MelGANGenerator, melgan_inverse,
                      melgan_torch_to_flax)
-from .streaming import StreamingVocoder, mel_receptive_halo
+from .streaming import (StreamingVocoder, mel_receptive_halo,
+                        melgan_receptive_halo, receptive_halo)
 
 __all__ = [
     "HiFiGANConfig", "HiFiGANGenerator", "ResBlock1", "ResBlock2",
@@ -20,4 +21,5 @@ __all__ = [
     "MelGANConfig", "MelGANGenerator", "melgan_inverse",
     "melgan_torch_to_flax",
     "StreamingVocoder", "mel_receptive_halo",
+    "melgan_receptive_halo", "receptive_halo",
 ]

@@ -171,7 +171,7 @@ class ConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int
     dtype: jnp.dtype = jnp.float32
-    impl: str = "polyphase"
+    impl: str = "dilated"       # measured winner, see HiFiGANConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -168,3 +168,50 @@ def test_v1_halo_value_is_stable():
     regressions are caught (chunk windows and TTFA budgets depend on it)."""
     assert mel_receptive_halo(HiFiGANConfig()) == mel_receptive_halo(V1_SLIM)
     assert 8 <= mel_receptive_halo(HiFiGANConfig()) <= 32
+
+
+class TestMelGANStreaming:
+    """StreamingVocoder generalizes to the MelGAN topology (reflect-padded
+    convs; the kept-samples-≥-halo argument makes reflection irrelevant)."""
+
+    def _build(self, seed=0):
+        from smart_nar_fast_tts_tpu.vocoder.melgan import (MelGANConfig,
+                                                           MelGANGenerator)
+        cfg = MelGANConfig(n_mels=8, ngf=4, n_residual_layers=2,
+                           ratios=(4, 2))
+        gen = MelGANGenerator(cfg)
+        mel = jnp.asarray(
+            np.random.RandomState(seed).randn(1, 8, cfg.n_mels), np.float32)
+        variables = gen.init(jax.random.PRNGKey(seed), mel)
+        return cfg, gen, variables
+
+    def test_halo_bounds_true_dependence(self):
+        from smart_nar_fast_tts_tpu.vocoder import melgan_receptive_halo
+        cfg, gen, variables = self._build()
+        halo = melgan_receptive_halo(cfg)
+        T = 4 * halo + 9
+        rng = np.random.RandomState(1)
+        mel = rng.randn(1, T, cfg.n_mels).astype(np.float32)
+        base = np.asarray(gen.apply(variables, jnp.asarray(mel)))
+        pert = mel.copy()
+        t0 = T // 2
+        pert[0, t0] += 1.0
+        out = np.asarray(gen.apply(variables, jnp.asarray(pert)))
+        diff = np.abs(out - base)[0]
+        changed = np.nonzero(diff > 1e-7)[0]
+        assert changed.size
+        lo, hi = changed.min(), changed.max()
+        assert lo >= (t0 - halo) * cfg.hop_length
+        assert hi < (t0 + halo + 1) * cfg.hop_length
+
+    @pytest.mark.parametrize("chunk", [4, 16])
+    def test_chunked_equals_full_forward(self, chunk):
+        cfg, gen, variables = self._build(seed=2)
+        T = 75
+        mel = np.random.RandomState(3).randn(T, cfg.n_mels).astype(
+            np.float32)
+        full = np.asarray(gen.apply(variables, jnp.asarray(mel)[None]))[0]
+        sv = StreamingVocoder(gen, variables, chunk_frames=chunk)
+        got = np.concatenate(list(sv.synthesize_chunks(mel)))
+        assert got.shape == full.shape
+        np.testing.assert_allclose(got, full, atol=1e-6)
