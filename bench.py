@@ -173,6 +173,13 @@ def main():
                          "batch_stats": variables.get("batch_stats", {})}
         voc_vars = voc.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 16, 80)))
+        voc_npz = os.path.join(os.path.dirname(FLAGSHIP_NPZ),
+                               "vocoder_params.npz")
+        if os.path.exists(voc_npz):
+            from benchmarks.train_flagship import load_variables_npz
+            voc_vars = load_variables_npz(voc_npz, voc_vars)
+            params_src += (" + vocoder:"
+                           f"{os.path.relpath(voc_npz)} (GAN-trained)")
         return model, variables, voc, voc_vars, params_src
 
     model, variables, voc, voc_vars, params_src = build("float32")

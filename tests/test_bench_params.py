@@ -68,6 +68,27 @@ def test_loaded_params_drive_the_model(tmp_path):
                                rtol=1e-2, atol=1e-2)
 
 
+def test_vocoder_tree_round_trips(tmp_path):
+    """bench.py / benchmarks.export_trained load GAN-trained vocoder params
+    (``vocoder_params.npz``) through the same flatten-order loader — the
+    HiFi-GAN variables tree must survive the f16 store bit-compatibly."""
+    from smart_nar_fast_tts_tpu.vocoder import (HiFiGANConfig,
+                                                HiFiGANGenerator)
+    gen = HiFiGANGenerator(HiFiGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), n_mels=8))
+    mel = jnp.zeros((1, 16, 8))
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    path = str(tmp_path / "voc.npz")
+    save_variables_npz(path, variables)
+    fresh = gen.init(jax.random.PRNGKey(7), mel)
+    loaded = load_variables_npz(path, fresh)
+    ref = np.asarray(gen.apply(variables, mel))
+    got = np.asarray(gen.apply(loaded, mel))
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-3)
+
+
 def test_architecture_mismatch_fails_loudly(tmp_path):
     model, variables, *_ = _tiny_variables()
     path = str(tmp_path / "params.npz")
