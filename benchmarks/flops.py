@@ -65,7 +65,8 @@ def main() -> None:
     from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
                                                FastSpeech2Loss)
     from smart_nar_fast_tts_tpu.vocoder import (HiFiGANConfig,
-                                                HiFiGANGenerator)
+                                                HiFiGANGenerator,
+                                                VocosConfig, VocosGenerator)
 
     pre = PreprocessConfig(stats=FeatureStats(
         pitch_min=71.0, pitch_max=799.8, pitch_mean=207.4, pitch_std=46.5,
@@ -95,9 +96,13 @@ def main() -> None:
         voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80)))
         mel = jnp.asarray(rng.normal(size=(B, 512, 80)), jnp.float32)
 
+        vcs = VocosGenerator(VocosConfig(compute_dtype=dtype))
+        vcs_vars = vcs.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, 80)))
+
         mel_fwd = jax.jit(lambda v, t, s: model.apply(
             v, t, s, max_mel_len=T_CAP, deterministic=True).postnet_mel)
         voc_fwd = jax.jit(voc.apply)
+        vcs_fwd = jax.jit(vcs.apply)
 
         for name, jitted, fargs, step in (
             ("acoustic_fwd_B8_T1000", mel_fwd, (variables, texts, src_lens),
@@ -106,6 +111,9 @@ def main() -> None:
             ("hifigan_fwd_B8_T512", voc_fwd, (voc_vars, mel),
              lambda c, f=voc_fwd: bm.collapse(
                  f(voc_vars, bm.taint(mel, c)), c)),
+            ("vocos_fwd_B8_T512", vcs_fwd, (vcs_vars, mel),
+             lambda c, f=vcs_fwd: bm.collapse(
+                 f(vcs_vars, bm.taint(mel, c)), c)),
         ):
             m = bm.seconds_per_iteration(step, k_hi=9)
             record(name, dtype, _cost_flops(jitted, *fargs), m.seconds)

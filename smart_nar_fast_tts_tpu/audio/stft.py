@@ -108,11 +108,10 @@ def _window_sumsquare(cfg: MelSpectrogramConfig, n_frames: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def istft(magnitude: jnp.ndarray, phase: jnp.ndarray,
-          cfg: MelSpectrogramConfig) -> jnp.ndarray:
-    """(B, n_bins, F) magnitude+phase → (B, T) via windowed overlap-add."""
-    spec = magnitude * jnp.exp(1j * phase)
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=cfg.n_fft, axis=-1)
+def _overlap_add(frames: jnp.ndarray, cfg: MelSpectrogramConfig
+                 ) -> jnp.ndarray:
+    """(B, F, n_fft) time frames → (B, hop·(F−1)) signal: synthesis window,
+    scatter-add at every hop, window-sumsquare normalize, center trim."""
     frames = frames * jnp.asarray(cfg.window)     # synthesis window
     b, f, _ = frames.shape
     n = cfg.n_fft + cfg.hop_length * (f - 1)
@@ -124,6 +123,47 @@ def istft(magnitude: jnp.ndarray, phase: jnp.ndarray,
     sig = jnp.where(wss[None, :] > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
     pad = cfg.n_fft // 2
     return sig[:, pad:n - pad]
+
+
+def istft(magnitude: jnp.ndarray, phase: jnp.ndarray,
+          cfg: MelSpectrogramConfig) -> jnp.ndarray:
+    """(B, n_bins, F) magnitude+phase → (B, T) via windowed overlap-add."""
+    spec = magnitude * jnp.exp(1j * phase)
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=cfg.n_fft, axis=-1)
+    return _overlap_add(frames, cfg)
+
+
+@functools.lru_cache(maxsize=4)
+def _irdft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT as two (n_bins, n_fft) real bases:
+    ``x = Re(X) @ C + Im(X) @ S`` ≡ ``irfft(X, n_fft)``.  Conjugate-symmetry
+    weights: bins 0 and n_fft/2 count once, interior bins twice."""
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((n_fft // 2 + 1, 1), 2.0)
+    w[0, 0] = w[-1, 0] = 1.0
+    c = (w * np.cos(ang) / n_fft).astype(np.float32)
+    s = (-w * np.sin(ang) / n_fft).astype(np.float32)
+    return c, s
+
+
+def istft_matmul(magnitude: jnp.ndarray, phase: jnp.ndarray,
+                 cfg: MelSpectrogramConfig) -> jnp.ndarray:
+    """iSTFT with the inverse rDFT expressed as two real matmuls.
+
+    Numerically equivalent to :func:`istft` (≤1e-5 at n_fft=1024) but uses
+    no complex dtype and no FFT kernel — this TPU runtime's backend has no
+    complex-FFT lowering (UNIMPLEMENTED), and a (F, 513)×(513, 1024) dense
+    matmul is MXU-native anyway (the Vocos head's synthesis cost is ~8% of
+    its backbone FLOPs in this form).  This is the serving path of
+    :class:`..vocoder.VocosGenerator`.
+    """
+    c, s = _irdft_bases(cfg.n_fft)
+    re = jnp.swapaxes(magnitude * jnp.cos(phase), -1, -2)   # (B, F, bins)
+    im = jnp.swapaxes(magnitude * jnp.sin(phase), -1, -2)
+    frames = re @ jnp.asarray(c) + im @ jnp.asarray(s)      # (B, F, n_fft)
+    return _overlap_add(frames, cfg)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

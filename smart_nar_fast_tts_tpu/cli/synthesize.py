@@ -236,8 +236,11 @@ def _make_vocoder(cfg, vocoder_ckpt, stream_chunk: int = 0):
         hop_length=a.hop_length, win_length=a.win_length, n_mels=a.n_mels,
         mel_fmin=a.mel_fmin, mel_fmax=a.mel_fmax)
     if vocoder_ckpt:
-        from ..vocoder import load_hifigan, hifigan_infer
-        gen, variables = load_hifigan(vocoder_ckpt)
+        from ..vocoder import (VocosGenerator, hifigan_infer, vocos_infer)
+        from ..vocoder.convert import load_vocoder
+        gen, variables = load_vocoder(vocoder_ckpt)
+        infer = (vocos_infer if isinstance(gen, VocosGenerator)
+                 else hifigan_infer)
         if stream_chunk:
             import time
 
@@ -258,7 +261,7 @@ def _make_vocoder(cfg, vocoder_ckpt, stream_chunk: int = 0):
                     chunks.append(c)
                 return np.concatenate(chunks)
             return _stream
-        return lambda mel: hifigan_infer(gen, variables, mel[None])[0]
+        return lambda mel: infer(gen, variables, mel[None])[0]
 
     # Griffin-Lim fallback: invert log-mel → linear magnitude via the
     # filterbank pseudo-inverse (debug-quality audio)

@@ -30,6 +30,15 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--segment_size", type=int, default=8192)
     parser.add_argument("--learning_rate", type=float, default=2e-4)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="GAN steps per jitted dispatch (lax.scan); "
+                             ">1 amortizes the host→chip round trip on "
+                             "remote-attached devices")
+    parser.add_argument("--generator", choices=("hifigan", "vocos"),
+                        default="hifigan",
+                        help="generator family: HiFi-GAN V1 (torch-parity "
+                             "topology) or the iSTFT-head Vocos backbone "
+                             "(vocoder/vocos.py, TPU-first)")
     parser.add_argument("--restore_generator", type=str, default=None,
                         help="torch HiFi-GAN ckpt or msgpack params to "
                              "warm-start the generator")
@@ -53,7 +62,8 @@ def main(argv=None) -> None:
                                     make_vocoder_optimizer,
                                     make_vocoder_train_step,
                                     sample_segments)
-    from ..vocoder import HiFiGANConfig, HiFiGANGenerator, load_hifigan
+    from ..vocoder import (HiFiGANConfig, HiFiGANGenerator, VocosConfig,
+                           VocosGenerator, load_hifigan)
     from ..vocoder.discriminators import HiFiGANDiscriminator
 
     paths = sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"),
@@ -66,11 +76,16 @@ def main(argv=None) -> None:
           f"{sum(len(w) for w in wavs) / args.sampling_rate:.1f}s audio")
 
     if args.debug_tiny:
-        gen_cfg = HiFiGANConfig(
-            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
-            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
-            resblock_dilation_sizes=((1, 2),), n_mels=8,
-            sampling_rate=args.sampling_rate)
+        if args.generator == "vocos":
+            gen_cfg = VocosConfig(
+                n_mels=8, dim=16, intermediate=32, n_layers=2, n_fft=32,
+                hop=8, win_length=32, sampling_rate=args.sampling_rate)
+        else:
+            gen_cfg = HiFiGANConfig(
+                upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+                resblock_dilation_sizes=((1, 2),), n_mels=8,
+                sampling_rate=args.sampling_rate)
         discriminator = HiFiGANDiscriminator(
             periods=(2, 3), period_channels=(4, 8), n_scales=2,
             scale_layers=((8, 15, 1, 1), (16, 41, 4, 4), (16, 5, 1, 1)))
@@ -78,10 +93,14 @@ def main(argv=None) -> None:
             sampling_rate=args.sampling_rate, n_fft=32, hop_length=8,
             win_length=32, n_mels=8, mel_fmax=None)
     else:
-        gen_cfg = HiFiGANConfig(sampling_rate=args.sampling_rate)
+        if args.generator == "vocos":
+            gen_cfg = VocosConfig(sampling_rate=args.sampling_rate)
+        else:
+            gen_cfg = HiFiGANConfig(sampling_rate=args.sampling_rate)
         discriminator = HiFiGANDiscriminator()
         mel_cfg = MelSpectrogramConfig(sampling_rate=args.sampling_rate)
-    generator = HiFiGANGenerator(gen_cfg)
+    generator = (VocosGenerator(gen_cfg) if args.generator == "vocos"
+                 else HiFiGANGenerator(gen_cfg))
 
     gen_params = None
     if args.restore_generator:
@@ -91,6 +110,10 @@ def main(argv=None) -> None:
                 jnp.zeros((1, 8, gen_cfg.n_mels)))["params"]
             with open(args.restore_generator, "rb") as f:
                 gen_params = serialization.from_bytes(target, f.read())
+        elif args.generator != "hifigan":
+            raise SystemExit("torch-checkpoint warm-start is a HiFi-GAN "
+                             "topology; use a .msgpack for --generator "
+                             "vocos")
         else:
             gen_params = load_hifigan(args.restore_generator)[1]["params"]
 
@@ -106,26 +129,35 @@ def main(argv=None) -> None:
                          jax.local_device_count()) * jax.process_count()
     mesh = make_mesh((data_size, 1),
                      devices=jax.devices()[:data_size])
+    k = max(1, args.steps_per_dispatch)
     step_fn = make_vocoder_train_step(generator, discriminator, mel_cfg,
-                                      gen_tx, disc_tx, mesh=mesh)
+                                      gen_tx, disc_tx, mesh=mesh,
+                                      steps_per_dispatch=k)
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed + jax.process_index())
     t0 = time.perf_counter()
-    for step in range(1, args.steps + 1):
-        batch = sample_segments(wavs, args.batch_size, args.segment_size,
-                                rng)
+    step, last_log = 0, 0
+    while step < args.steps:
+        if k == 1:
+            batch = sample_segments(wavs, args.batch_size,
+                                    args.segment_size, rng)
+        else:
+            batch = np.stack([
+                sample_segments(wavs, args.batch_size, args.segment_size,
+                                rng) for _ in range(k)])
         state, metrics = step_fn(state, jnp.asarray(batch))
-        if step % args.log_every == 0:
+        step += k
+        if step - last_log >= args.log_every or step >= args.steps:
             dt = time.perf_counter() - t0
             print(f"step {step}: disc={float(metrics.disc):.4f} "
                   f"gen={float(metrics.gen_total):.4f} "
                   f"mel={float(metrics.mel):.4f} "
-                  f"({args.log_every / dt:.2f} steps/s)", flush=True)
+                  f"({(step - last_log) / dt:.2f} steps/s)", flush=True)
             if not np.isfinite(float(metrics.gen_total)):
                 raise FloatingPointError(f"non-finite loss at step {step}")
-            t0 = time.perf_counter()
-        if step % args.save_every == 0 or step == args.steps:
+            last_log, t0 = step, time.perf_counter()
+        if step % args.save_every < k or step >= args.steps:
             if jax.process_index() == 0:
                 path = os.path.join(args.out_dir,
                                     f"generator_{step}.msgpack")
@@ -139,7 +171,8 @@ def main(argv=None) -> None:
                 cfg_path = os.path.join(args.out_dir, "config.json")
                 import json
                 with open(cfg_path, "w") as f:
-                    json.dump(gen_cfg.to_dict(), f, indent=1)
+                    json.dump({"family": args.generator,
+                               **gen_cfg.to_dict()}, f, indent=1)
                 print(f"saved {path}", flush=True)
 
 

@@ -87,12 +87,15 @@ def make_vocoder_train_step(generator: HiFiGANGenerator,
                             mel_cfg: MelSpectrogramConfig,
                             gen_tx: optax.GradientTransformation,
                             disc_tx: optax.GradientTransformation,
-                            mesh: Optional[Mesh] = None):
+                            mesh: Optional[Mesh] = None,
+                            steps_per_dispatch: int = 1):
     """Jitted (state, wav_segments (B, S)) → (state, VocoderMetrics).
 
     Mel inputs and mel-loss targets are computed in-graph from the real
     waveform (GT-mel training; pass acoustic-model mels for teacher-forced
-    fine-tune via the optional ``mels`` argument).
+    fine-tune via the optional ``mels`` argument — single-step mode only).
+    With ``steps_per_dispatch=K > 1`` the returned function takes
+    ``(K, B, S)`` and runs K GAN steps in one scanned program.
     """
 
     def step(state: VocoderState, wavs: jnp.ndarray,
@@ -167,14 +170,28 @@ def make_vocoder_train_step(generator: HiFiGANGenerator,
                                  mel=mel, gen_total=g_total)
         return new_state, metrics
 
+    if steps_per_dispatch > 1:
+        # lax.scan over K steps per dispatch: on a remote-attached chip the
+        # per-dispatch RTT (~26 ms through the tunnel) would otherwise
+        # dominate these sub-50ms GAN steps (same rationale as
+        # training/step.py's scanned multi-step).  Takes (K, B, S) wavs and
+        # reports the LAST step's metrics.
+        def multi(state: VocoderState, wavs_k: jnp.ndarray):
+            new_state, ms = jax.lax.scan(
+                lambda st, w: step(st, w), state, wavs_k)
+            return new_state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+        fn, data_spec = multi, P(None, "data")
+    else:
+        fn, data_spec = step, P("data")
+
     from .step import _trivial_mesh
     if _trivial_mesh(mesh):
         # 1-device meshes compile the same program under plain jit, without
         # the committed-NamedSharding dispatch overhead (see step.py)
-        return jax.jit(step, donate_argnums=0)
-    data = NamedSharding(mesh, P("data"))
+        return jax.jit(fn, donate_argnums=0)
+    data = NamedSharding(mesh, data_spec)
     repl = NamedSharding(mesh, P())
-    return jax.jit(step, donate_argnums=0,
+    return jax.jit(fn, donate_argnums=0,
                    in_shardings=(repl, data),
                    out_shardings=(repl, repl))
 

@@ -11,6 +11,7 @@ from .melgan import (MelGANConfig, MelGANGenerator, melgan_inverse,
                      melgan_torch_to_flax)
 from .streaming import (StreamingVocoder, mel_receptive_halo,
                         melgan_receptive_halo, receptive_halo)
+from .vocos import VocosConfig, VocosGenerator, vocos_infer
 
 __all__ = [
     "HiFiGANConfig", "HiFiGANGenerator", "ResBlock1", "ResBlock2",
@@ -22,4 +23,5 @@ __all__ = [
     "melgan_torch_to_flax",
     "StreamingVocoder", "mel_receptive_halo",
     "melgan_receptive_halo", "receptive_halo",
+    "VocosConfig", "VocosGenerator", "vocos_infer",
 ]

@@ -117,3 +117,36 @@ def load_hifigan(ckpt_path: str, config_path: str | None = None
           for k, v in sd.items()}
     gen = HiFiGANGenerator(config)
     return gen, {"params": torch_to_flax(sd, config)}
+
+
+def load_vocoder(ckpt_path: str, config_path: str | None = None):
+    """Family-aware vocoder loader: dispatches on the ``family`` key the
+    ``train_vocoder`` CLI writes into the sibling ``config.json``
+    ("hifigan" | "vocos"; absent → HiFi-GAN, matching the reference's
+    checkpoint layout, ref utils/model.py:53-58).  Returns
+    ``(generator, variables)`` for any generator with the
+    ``apply(vars, mel) -> wav`` surface."""
+    if config_path is None:
+        cand = os.path.join(os.path.dirname(ckpt_path), "config.json")
+        config_path = cand if os.path.isfile(cand) else None
+    family, cfg_dict = "hifigan", None
+    if config_path:
+        with open(config_path) as f:
+            cfg_dict = json.load(f)
+        family = cfg_dict.pop("family", "hifigan")
+    if family == "hifigan":
+        return load_hifigan(ckpt_path, config_path)
+    if family != "vocos":
+        raise ValueError(f"unknown vocoder family {family!r}")
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from .vocos import VocosConfig, VocosGenerator
+    config = VocosConfig.from_dict(cfg_dict) if cfg_dict else VocosConfig()
+    gen = VocosGenerator(config)
+    target = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, config.n_mels)))["params"]
+    with open(ckpt_path, "rb") as f:
+        params = serialization.from_bytes(target, f.read())
+    return gen, {"params": params}

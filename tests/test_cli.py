@@ -195,6 +195,47 @@ def test_synthesize_stream_chunk(workspace, capsys, tmp_path):
     assert wavs, out
 
 
+def test_synthesize_vocos_vocoder(workspace, capsys, tmp_path):
+    """--vocoder_ckpt with a ``family: vocos`` config.json dispatches
+    through load_vocoder to the iSTFT-head generator, both whole-utterance
+    and chunked (--stream_chunk through the generic StreamingVocoder)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from smart_nar_fast_tts_tpu.vocoder import VocosConfig, VocosGenerator
+
+    root, paths, out_dir = workspace
+    from smart_nar_fast_tts_tpu.cli.preprocess import main as preprocess
+    preprocess([paths["preprocess"]])
+    from smart_nar_fast_tts_tpu.cli.train import main as train
+    train(_config_args(paths))
+
+    cfg = VocosConfig(n_mels=80, dim=16, intermediate=32, n_layers=2,
+                      n_fft=256, hop=64, win_length=256)
+    gen = VocosGenerator(cfg)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 80)))["params"]
+    voc_dir = tmp_path / "voc"
+    voc_dir.mkdir()
+    (voc_dir / "config.json").write_text(
+        json.dumps({"family": "vocos", **cfg.to_dict()}))
+    with open(voc_dir / "gen.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+    from smart_nar_fast_tts_tpu.cli.synthesize import main as synthesize
+    synthesize(_config_args(paths) + [
+        "--text", "hello vocos", "--vocoder_ckpt",
+        str(voc_dir / "gen.msgpack")])
+    wavs = [f for f in os.listdir(root / "result") if f.endswith(".wav")]
+    assert wavs, capsys.readouterr().out
+
+    synthesize(_config_args(paths) + [
+        "--text", "hello streaming vocos", "--vocoder_ckpt",
+        str(voc_dir / "gen.msgpack"), "--stream_chunk", "8"])
+    out = capsys.readouterr().out
+    assert "first audio" in out, out
+
+
 def test_batch_synthesis_from_source(workspace, capsys):
     """VERDICT.md Missing #3: --source metadata mode consumes TextOnlyDataset
     through bucketed static shapes and writes wav/png per utterance."""

@@ -145,6 +145,36 @@ class TestTrainStep:
         assert not np.allclose(np.asarray(g0), np.asarray(g1))
         assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
+    def test_scanned_multi_step(self):
+        """steps_per_dispatch=K runs K GAN steps in one program: the step
+        counter advances by K and the result equals K sequential
+        single-step dispatches on the same batches."""
+        gen = HiFiGANGenerator(TINY_GEN)
+        disc = tiny_disc()
+        gen_tx = make_vocoder_optimizer(2e-4)
+        disc_tx = make_vocoder_optimizer(2e-4)
+        wavs = np.random.RandomState(5).randn(3, 2, SEG).astype(
+            np.float32) * 0.1
+
+        state1 = create_vocoder_state(gen, disc, gen_tx, disc_tx,
+                                      segment_size=SEG, seed=0)
+        one = make_vocoder_train_step(gen, disc, TINY_MEL, gen_tx, disc_tx)
+        for i in range(3):
+            state1, m1 = one(state1, jnp.asarray(wavs[i]))
+
+        state3 = create_vocoder_state(gen, disc, gen_tx, disc_tx,
+                                      segment_size=SEG, seed=0)
+        multi = make_vocoder_train_step(gen, disc, TINY_MEL, gen_tx,
+                                        disc_tx, steps_per_dispatch=3)
+        state3, m3 = multi(state3, jnp.asarray(wavs))
+        assert int(state3.step) == 3 == int(state1.step)
+        # last-step metrics agree with the sequential run
+        np.testing.assert_allclose(float(m3.gen_total),
+                                   float(m1.gen_total), rtol=1e-4)
+        a = jax.tree_util.tree_leaves(state1.gen_params)[0]
+        b = jax.tree_util.tree_leaves(state3.gen_params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_step_data_parallel_mesh(self):
         mesh = make_mesh((8, 1))
         state, step = self._setup(mesh=mesh)
