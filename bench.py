@@ -358,6 +358,40 @@ def main():
     else:
         extra["bf16"] = "skipped (deadline)"
 
+    # -- Vocos serving variant -----------------------------------------------
+    # Same acoustic stage, Vocos iSTFT-head vocoder (~24x fewer FLOPs than
+    # HiFi-GAN V1 per frame).  GAN-trained params load from
+    # benchmarks/results/vocos_params.npz when present (benchmarks README:
+    # train_vocoder --generator vocos on the synthetic corpus); random-init
+    # timing is identical, only the label changes.
+    vocos_npz = os.path.join(os.path.dirname(FLAGSHIP_NPZ),
+                             "vocos_params.npz")
+    if time_left() > 120:
+        from smart_nar_fast_tts_tpu.vocoder import (VocosConfig,
+                                                    VocosGenerator)
+        vgen = VocosGenerator(VocosConfig())
+        vvars = vgen.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, 80)))
+        vsrc = "random_init"
+        if os.path.exists(vocos_npz):
+            from benchmarks.train_flagship import load_variables_npz
+            vvars = load_variables_npz(vocos_npz, vvars)
+            vsrc = f"checkpoint:{os.path.relpath(vocos_npz)} (GAN-trained)"
+
+        def vocos_step(c):
+            m = bm.taint(mel_f32, c)
+            return bm.collapse(vgen.apply(vvars, m), c)
+
+        m_vocos = bm.seconds_per_iteration(vocos_step, k_hi=17)
+        e2e_v = m_mel.seconds + m_vocos.seconds
+        extra["vocos"] = {
+            "e2e_rtf": round(e2e_v / audio_seconds, 6),
+            "vs_baseline": round(TARGET_RTF * audio_seconds / e2e_v, 3),
+            "vocoder_rtf": round(m_vocos.seconds / audio_seconds, 6),
+            "params": vsrc,
+        }
+    else:
+        extra["vocos"] = "skipped (deadline)"
+
     print(json.dumps({
         "metric": "e2e_synthesis_rtf_per_chip",
         "value": round(rtf, 6),

@@ -225,8 +225,8 @@ def _export_all(out_dir, model, variables, B, text_buckets, mel_caps,
                  "inputs": ["params leaves",
                             f"float32[{B},{T},{n_mels}] mel"]})
 
-        from .vocoder.streaming import mel_receptive_halo
-        halo = mel_receptive_halo(generator.config)
+        from .vocoder.streaming import receptive_halo
+        halo = receptive_halo(generator.config)
         window = int(stream_chunk) + 2 * halo
         name = f"vocoder_stream_W{window}.jaxexp"
         _export_one(vocoder_fn, (v_leaves, jnp.zeros((1, window, n_mels)),),

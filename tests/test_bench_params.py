@@ -89,6 +89,25 @@ def test_vocoder_tree_round_trips(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-3)
 
 
+def test_vocos_tree_round_trips(tmp_path):
+    """The Vocos serving variant of bench.py loads ``vocos_params.npz``
+    through the same flatten-order loader — the VocosGenerator variables
+    tree must survive the f16 store with matching forwards."""
+    from smart_nar_fast_tts_tpu.vocoder import VocosConfig, VocosGenerator
+    gen = VocosGenerator(VocosConfig(
+        dim=32, intermediate=64, n_layers=2, n_fft=64, hop=16, win_length=64,
+        n_mels=8))
+    mel = jnp.zeros((1, 16, 8))
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    path = str(tmp_path / "vocos.npz")
+    save_variables_npz(path, variables)
+    fresh = gen.init(jax.random.PRNGKey(7), mel)
+    loaded = load_variables_npz(path, fresh)
+    ref = np.asarray(gen.apply(variables, mel))
+    got = np.asarray(gen.apply(loaded, mel))
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-3)
+
+
 def test_architecture_mismatch_fails_loudly(tmp_path):
     model, variables, *_ = _tiny_variables()
     path = str(tmp_path / "params.npz")

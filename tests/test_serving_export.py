@@ -331,3 +331,57 @@ class TestMultiSpeaker:
         assert not np.allclose(wav0[:n], wav1[:n]), (
             "two speakers produced identical audio through the exported "
             "serving surface")
+
+
+class TestVocosExport:
+    """The export surface is vocoder-family-generic: a Vocos generator
+    (frame-rate backbone + iSTFT head) must export, stream (family-aware
+    ``receptive_halo`` — serving.py routes through it, not the HiFi-GAN-
+    only helper), and round-trip ``ExportedTTS.synthesize``."""
+
+    @pytest.fixture(scope="class")
+    def vocos_artifact(self, tmp_path_factory):
+        from smart_nar_fast_tts_tpu.vocoder import (VocosConfig,
+                                                    VocosGenerator)
+        out = tmp_path_factory.mktemp("vocos_artifact")
+        model, _ = _tiny_model()
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4), jnp.int32),
+                               jnp.asarray([4], jnp.int32), max_mel_len=128)
+        vcfg = VocosConfig(dim=16, intermediate=32, n_layers=2,
+                           n_fft=64, hop=16, win_length=64, n_mels=80)
+        gen = VocosGenerator(vcfg)
+        gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+        manifest = export_serving_artifacts(
+            str(out), model, variables,
+            text_buckets=TEXT_BUCKETS, mel_buckets=MEL_BUCKETS,
+            batch_size=1, max_mel_len=128, mel_caps=MEL_CAPS,
+            generator=gen, gen_variables=gen_vars, stream_chunk=16)
+        return out, model, variables, gen, gen_vars, manifest
+
+    def test_synthesize_matches_live(self, vocos_artifact):
+        out, model, variables, gen, gen_vars, manifest = vocos_artifact
+        assert manifest["vocoder_hop"] == gen.config.hop_length
+        tts = ExportedTTS(str(out))
+        ids = np.array([5, 9, 2, 7], np.int32)
+        wav = tts.synthesize(ids)
+        res = tts.acoustic(ids)
+        n_frames = int(res["mel_lens"][0])
+        assert wav.shape == (n_frames * gen.config.hop_length,)
+        bucket = next(b for b in MEL_BUCKETS if b >= n_frames)
+        mel = jnp.zeros((1, bucket, 80)).at[:, :n_frames].set(
+            jnp.asarray(res["postnet_mel"][:1, :n_frames]))
+        ref = np.asarray(gen.apply(gen_vars, mel))[0, :wav.shape[0]]
+        np.testing.assert_allclose(wav, ref, atol=1e-4)
+
+    def test_streaming_program_window(self, vocos_artifact):
+        out, *_, manifest = vocos_artifact
+        from smart_nar_fast_tts_tpu.vocoder.streaming import receptive_halo
+        from smart_nar_fast_tts_tpu.vocoder import VocosConfig
+        halo = receptive_halo(VocosConfig(dim=16, intermediate=32,
+                                          n_layers=2, n_fft=64, hop=16,
+                                          win_length=64, n_mels=80))
+        s = manifest["streaming"]
+        assert s["halo_frames"] == halo
+        assert s["window_frames"] == 16 + 2 * halo
+        assert os.path.exists(out / s["file"])
