@@ -179,8 +179,24 @@ def main():
             from benchmarks.train_flagship import load_variables_npz
             voc_vars = load_variables_npz(voc_npz, voc_vars)
             params_src += (" + vocoder:"
-                           f"{os.path.relpath(voc_npz)} (GAN-trained)")
+                           f"{os.path.relpath(voc_npz)}"
+                           f" ({_vocoder_provenance('vocoder')})")
         return model, variables, voc, voc_vars, params_src
+
+    def _vocoder_provenance(stem: str) -> str:
+        """Steps/note from <stem>_meta.json so the reported label carries
+        the checkpoint's actual provenance (ADVICE r3: a mid-run smoke
+        checkpoint must not silently read as 'GAN-trained')."""
+        meta_path = os.path.join(os.path.dirname(FLAGSHIP_NPZ),
+                                 f"{stem}_meta.json")
+        if not os.path.exists(meta_path):
+            return "GAN-trained, provenance unknown (no meta)"
+        with open(meta_path) as f:
+            vm = json.load(f)
+        s = f"GAN-trained {vm.get('steps', '?')} steps"
+        if vm.get("note"):
+            s += f", {vm['note']}"
+        return s
 
     model, variables, voc, voc_vars, params_src = build("float32")
 
@@ -369,13 +385,24 @@ def main():
     if time_left() > 120:
         from smart_nar_fast_tts_tpu.vocoder import (VocosConfig,
                                                     VocosGenerator)
-        vgen = VocosGenerator(VocosConfig())
+        # build from the promoted checkpoint's recorded config when
+        # available (ADVICE r3: don't assume default VocosConfig)
+        vmeta_path = os.path.join(os.path.dirname(FLAGSHIP_NPZ),
+                                  "vocos_meta.json")
+        vcfg = VocosConfig()
+        if os.path.exists(vmeta_path):
+            with open(vmeta_path) as f:
+                _vm = json.load(f)
+            if isinstance(_vm.get("config"), dict):
+                vcfg = VocosConfig(**_vm["config"])
+        vgen = VocosGenerator(vcfg)
         vvars = vgen.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, 80)))
         vsrc = "random_init"
         if os.path.exists(vocos_npz):
             from benchmarks.train_flagship import load_variables_npz
             vvars = load_variables_npz(vocos_npz, vvars)
-            vsrc = f"checkpoint:{os.path.relpath(vocos_npz)} (GAN-trained)"
+            vsrc = (f"checkpoint:{os.path.relpath(vocos_npz)}"
+                    f" ({_vocoder_provenance('vocos')})")
 
         def vocos_step(c):
             m = bm.taint(mel_f32, c)

@@ -55,7 +55,12 @@ def main(argv=None) -> None:
     step_m = re.search(r"generator_(\d+)", os.path.basename(args.ckpt))
     step = int(step_m.group(1)) if step_m else -1
 
-    npz_path = os.path.join(RESULTS, f"{family}_params.npz")
+    # ADVICE r3: bench.py / benchmarks.export_trained load the serving
+    # HiFi-GAN under the historical names vocoder_params.npz /
+    # vocoder_meta.json — promoting the hifigan family must write the
+    # names the consumers actually read, not an orphan hifigan_params.npz.
+    stem = "vocoder" if family == "hifigan" else family
+    npz_path = os.path.join(RESULTS, f"{stem}_params.npz")
     n_leaves = save_variables_npz(npz_path, variables)
 
     # --- trained flagship text -> mel -> this vocoder -> wav ---------------
@@ -97,25 +102,40 @@ def main(argv=None) -> None:
     t = min(remel.shape[0], n)
     mel_l1 = float(np.mean(np.abs(remel[:t] - np.asarray(mel)[0, :t])))
 
+    # real run metadata, if the trainer left a meta.json beside the ckpt
+    # (ADVICE r3: don't hardcode corpus/trainer claims the promoted ckpt
+    # may not match, and record the generator config so consumers rebuild
+    # the exact topology instead of assuming defaults)
+    run_meta = {}
+    run_meta_path = os.path.join(os.path.dirname(args.ckpt), "meta.json")
+    if os.path.exists(run_meta_path):
+        with open(run_meta_path) as f:
+            run_meta = json.load(f)
+
+    from dataclasses import asdict
     meta = {
         "generator": f"{type(gen).__name__} "
                      f"({sum(int(np.asarray(x).size) for x in jax.tree.leaves(variables))/1e6:.1f}M params)",
         "family": family,
+        "config": asdict(gen.config),
         "steps": step,
         "source_ckpt": os.path.basename(args.ckpt),
-        "corpus": "synthetic flagship corpus (learning_curve.make_corpus): "
-                  "96 wavs, 106.6 s",
-        "final_losses": json.loads(args.losses) if args.losses else None,
+        "corpus": run_meta.get("corpus", "unknown (no meta.json beside "
+                                         "the checkpoint)"),
+        "final_losses": (json.loads(args.losses) if args.losses
+                         else run_meta.get("final_losses")),
         "resynthesis_log_mel_l1": round(mel_l1, 4),
         "sample_wav": os.path.basename(wav_path),
         "sample_mel_frames": n,
         "n_leaves": n_leaves,
-        "device": jax.devices()[0].platform,
+        "train_device": run_meta.get("device", "unknown"),
+        "promoted_on_device": jax.devices()[0].platform,
         "note": args.note or None,
-        "trainer": "smart_nar_fast_tts_tpu.cli.train_vocoder "
-                   "(MPD+MSD, in-graph Pallas-STFT mel loss)",
+        "trainer": run_meta.get(
+            "trainer", "smart_nar_fast_tts_tpu.cli.train_vocoder "
+                       "(MPD+MSD, in-graph STFT mel loss)"),
     }
-    meta_path = os.path.join(RESULTS, f"{family}_meta.json")
+    meta_path = os.path.join(RESULTS, f"{stem}_meta.json")
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps({"params": npz_path, "meta": meta_path,

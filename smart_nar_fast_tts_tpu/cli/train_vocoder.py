@@ -173,6 +173,30 @@ def main(argv=None) -> None:
                 with open(cfg_path, "w") as f:
                     json.dump({"family": args.generator,
                                **gen_cfg.to_dict()}, f, indent=1)
+                # run provenance beside the checkpoints: what was trained,
+                # on what, where — benchmarks.commit_vocoder_params copies
+                # this into the committed <family>_meta.json so promoted
+                # artifacts carry their true provenance (ADVICE r3)
+                with open(os.path.join(args.out_dir, "meta.json"),
+                          "w") as f:
+                    json.dump({
+                        "family": args.generator,
+                        "steps_completed": step,
+                        "steps_planned": args.steps,
+                        "batch_size": args.batch_size,
+                        "segment_size": args.segment_size,
+                        "learning_rate": args.learning_rate,
+                        "corpus": f"{args.wav_dir}: {len(wavs)} wavs, "
+                                  f"{sum(len(w) for w in wavs) / args.sampling_rate:.1f}s",
+                        "device": jax.devices()[0].platform,
+                        "final_losses": {
+                            "disc": round(float(metrics.disc), 4),
+                            "gen_total": round(float(metrics.gen_total), 4),
+                            "mel": round(float(metrics.mel), 4)},
+                        "trainer": "smart_nar_fast_tts_tpu.cli."
+                                   "train_vocoder (MPD+MSD, in-graph "
+                                   "STFT mel loss)",
+                    }, f, indent=1)
                 print(f"saved {path}", flush=True)
 
 

@@ -103,7 +103,15 @@ class MultiHeadAttention(nn.Module):
             # ring_self_attention applies the 1/sqrt(d_k) temperature itself
             out = sequence_parallel_self_attention(
                 sp_mesh, q, k, v, key_valid, seq_axis=sp_axis)
-        elif not self.need_attn and use_pallas():
+        elif (not self.need_attn and use_pallas()
+              and max(Lq, Lk) > 2048):
+            # Flash only pays past ~2k frames: measured on v5e
+            # (benchmarks/flash_probe.py, round 4) XLA einsum attention
+            # runs at ~180 TFLOP/s vs the Pallas kernel's ~45 at T=1000
+            # (the kernel is grid-overhead-bound at small blocks), while at
+            # T=4096 the materialized (B,H,T,T) scores turn einsum
+            # memory-bound (28 TFLOP/s) and flash wins 2x.  Shapes are
+            # static, so this is a trace-time dispatch.
             attn = None
             out = flash_attention(q, k, v, key_valid, 256, 256,
                                   pallas_interpret())

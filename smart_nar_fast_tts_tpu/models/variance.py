@@ -45,8 +45,16 @@ def quantization_bins(vmin: float, vmax: float, n_bins: int,
 
 def bucketize(values: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
     """torch.bucketize(right=False) equivalent:
-    index of first boundary >= value (searchsorted side='left')."""
-    return jnp.searchsorted(bins, values, side="left")
+    index of first boundary >= value (searchsorted side='left').
+
+    ``method='compare_all'``: the default ``'scan'`` lowers to a ~8-step
+    sequential binary search whose per-step gathers cost ~0.52 ms for an
+    (8, 1000) input on a v5e chip — 40x the 0.013 ms of the all-compare
+    reduction over the 255 boundaries (measured, benchmarks/bf16_probe.py
+    round 4).  At 256 bins compare-all is a trivially vectorizable
+    (values x bins) comparison sum, ideal VPU shape.
+    """
+    return jnp.searchsorted(bins, values, side="left", method="compare_all")
 
 
 class VariancePredictor(nn.Module):

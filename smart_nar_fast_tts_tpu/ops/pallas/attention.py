@@ -53,7 +53,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
                   scale: float):
     """One (batch·head, q-block) program: stream key blocks with online
     softmax.  Refs: q (Bq, D), k/v (Lk, D), mask (1, Lk) float{0,1}."""
-    q = q_ref[0].astype(jnp.float32) * scale          # (Bq, D)
+    # MXU dtype: f32 dot_generals inside Mosaic run multi-pass (~31 TFLOP/s
+    # on v5e vs ~190 one-pass bf16 — measured, benchmarks/bf16_probe.py).
+    # XLA's own default-precision einsum attention truncates f32 operands
+    # to bf16 with f32 accumulation; doing the same here matches both its
+    # numerics and its speed.  Softmax statistics stay f32.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
     n_kb = k_ref.shape[1] // block_k
 
     bq = q.shape[0]
@@ -63,14 +68,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
 
     def body(kb, carry):
         acc, m_i, l_i = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(
+            jnp.bfloat16)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(
+            jnp.bfloat16)
         mask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(
             jnp.float32)
 
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (Bq, block_k)
+            preferred_element_type=jnp.float32)       # (Bq, block_k) f32
         s = jnp.where(mask[None, :] > 0, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
@@ -78,7 +85,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         p = jnp.exp(s - m_new) * mask[None, :]
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 

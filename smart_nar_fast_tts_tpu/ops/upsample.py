@@ -39,8 +39,13 @@ def hard_upsample(x: jnp.ndarray, durations: jnp.ndarray, max_len: int
     cum = jnp.cumsum(durations.astype(jnp.float32), axis=1)       # (B, L)
     t = jnp.arange(max_len, dtype=jnp.float32)                     # (T,)
     # idx[b, t] = number of cum entries <= t  == phoneme owning frame t
+    # compare_all: the default 'scan' binary search lowers to sequential
+    # gather steps (~40x slower on TPU for these sizes, see
+    # models/variance.py:bucketize); L=128 boundaries make the all-compare
+    # reduction a cheap (T, L) VPU op
     idx = jax.vmap(
-        lambda c: jnp.searchsorted(c, t, side="right"))(cum)       # (B, T)
+        lambda c: jnp.searchsorted(c, t, side="right",
+                                   method="compare_all"))(cum)     # (B, T)
     total = cum[:, -1]
     valid = t[None, :] < total[:, None]                            # (B, T)
     gathered = jnp.take_along_axis(

@@ -71,7 +71,7 @@ def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def body(i, carry):
+    def body(carry, _):
         acc_m_l, k_blk, v_blk, mask_blk = carry
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
@@ -81,10 +81,13 @@ def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
-        return acc_m_l, k_blk, v_blk, mask_blk
+        return (acc_m_l, k_blk, v_blk, mask_blk), None
 
-    (acc, m, l), _, _, _ = jax.lax.fori_loop(
-        0, n, body, ((acc, m, l), k, v, key_valid))
+    # lax.scan (not fori_loop/while_loop) so the ring is reverse-mode
+    # differentiable — the SP TRAIN step (training/step.py sp_mesh) back-
+    # propagates through it; ppermute's transpose is the inverted ring
+    ((acc, m, l), _, _, _), _ = jax.lax.scan(
+        body, ((acc, m, l), k, v, key_valid), None, length=n)
     out = acc / jnp.maximum(l, 1e-37)[..., None]
     return out.astype(q.dtype)
 

@@ -289,6 +289,12 @@ class ExportedTTS:
             key=lambda p: p.bucket)
         self.hop = int(self.manifest.get("vocoder_hop", 256))
 
+        st = self.manifest.get("streaming")
+        self._stream_prog = _load(st["file"]) if st else None
+        self.stream_window = int(st["window_frames"]) if st else 0
+        self.stream_chunk = int(st["chunk_frames"]) if st else 0
+        self.stream_halo = int(st["halo_frames"]) if st else 0
+
     @staticmethod
     def _pick(programs: list, n: int, what: str) -> _Program:
         for p in programs:
@@ -353,3 +359,41 @@ class ExportedTTS:
         mel[0, :t] = out["postnet_mel"][0, :t]
         wav = np.asarray(prog.call(self._vleaves, jnp.asarray(mel)))
         return wav[0, : t * self.hop]
+
+    def stream(self, token_ids: np.ndarray, speaker: int = 0):
+        """(n,) int token ids → iterator of float32 waveform chunks, from
+        the AOT artifacts only (``manifest['streaming']`` window program).
+
+        The first chunk arrives after probe + acoustic + ONE vocoder window
+        (time-to-first-audio), not after the whole utterance is vocoded.
+        Concatenated chunks equal :meth:`synthesize` up to cross-shape
+        reduction order: both run the vocoder over the same zero-padded
+        bucket-length mel, and every kept sample is ≥ halo frames from an
+        interior window edge (edge windows sit flush with the padded
+        sequence boundaries, where both programs see identical conv
+        padding — the exactness argument of ``vocoder/streaming.py``).
+        """
+        if not self._vocoder:
+            raise ValueError("artifact was exported without a vocoder")
+        out = self.acoustic(token_ids, speaker)
+        t = max(int(out["mel_lens"][0]), 1)
+        w, c, h = self.stream_window, self.stream_chunk, self.stream_halo
+        # the same bucket (and therefore the same zero-padded mel) the full
+        # vocoder program consumes — windows slide over it, so
+        # stream ≡ synthesize sample for sample
+        prog = self._pick(self._vocoder, t, "mel")
+        if self._stream_prog is None or prog.bucket < w:
+            # no streaming program (or the covering bucket is narrower than
+            # one window): degenerate single-chunk stream via the full path
+            yield self.synthesize(token_ids, speaker)
+            return
+        mel = np.zeros((prog.bucket, out["postnet_mel"].shape[-1]),
+                       np.float32)
+        mel[:t] = out["postnet_mel"][0, :t]
+        for lo in range(0, t, c):
+            hi = min(lo + c, t)
+            start = min(max(lo - h, 0), prog.bucket - w)
+            window = mel[start: start + w]
+            wav = np.asarray(
+                self._stream_prog(self._vleaves, jnp.asarray(window[None])))
+            yield wav[0, (lo - start) * self.hop: (hi - start) * self.hop]

@@ -33,12 +33,20 @@ class TestFlashAttention:
         valid = jnp.asarray(np.arange(Lk)[None, :] < lens[:, None])
         return q, k, v, valid
 
+    # The kernel truncates its dot operands to bf16 with f32 accumulation —
+    # the same semantics XLA's default matmul precision applies to the
+    # "f32" einsum oracle on a real TPU (measured 184 vs 31 TFLOP/s for
+    # one-pass bf16 vs multi-pass true-f32 on v5e, benchmarks/bf16_probe).
+    # In CPU interpret mode the oracle does NOT truncate, so parity here is
+    # bf16-rounding-scale, not f32-scale.
+    BF16_ATOL, BF16_RTOL = 2e-2, 2e-2
+
     def test_matches_oracle(self):
         q, k, v, valid = self._data()
         ref = _attention_reference(q, k, v, valid)
         out = flash_attention(q, k, v, valid, 32, 32, True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-5)
+                                   atol=self.BF16_ATOL, rtol=self.BF16_RTOL)
 
     def test_oracle_matches_model_layer(self):
         # _attention_reference must itself equal the model's masked_softmax
@@ -57,7 +65,7 @@ class TestFlashAttention:
         ref = _attention_reference(q, k, v, valid)
         out = flash_attention(q, k, v, valid, 16, 16, True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-5)
+                                   atol=self.BF16_ATOL, rtol=self.BF16_RTOL)
 
     def test_fully_masked_rows_zero(self):
         q, k, v, _ = self._data(B=1, seed=2)
@@ -77,9 +85,12 @@ class TestFlashAttention:
             return jnp.sum(_attention_reference(q, k, v, valid) ** 2)
 
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        # the cotangent entering the (f32-reference) backward is the bf16
+        # forward's output, so grads agree at bf16 scale
         for a, b in zip(g_flash, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-4, rtol=1e-4)
+                                       atol=self.BF16_ATOL,
+                                       rtol=self.BF16_RTOL)
 
 
 class TestBandedGaussianUpsample:

@@ -138,6 +138,92 @@ class TestModelSequenceParallel:
                                    np.asarray(out_dense.postnet_mel),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_sp_train_step_matches_dense(self):
+        """VERDICT r3 Next #7: the TRAIN step with the decoder time axis
+        sharded (ring attention fwd+bwd) must produce the same losses and
+        the same updated parameters as the single-device dense step."""
+        from smart_nar_fast_tts_tpu.config import OptimizerConfig
+        from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
+                                                   FastSpeech2Loss)
+        from smart_nar_fast_tts_tpu.training import (Batch,
+                                                     create_train_state,
+                                                     make_optimizer,
+                                                     make_train_step)
+
+        cfg_sp, pre = self._cfg(True)
+        cfg_dense, _ = self._cfg(False)
+        model_sp = FastSpeech2Align(cfg_sp, pre)
+        model_dense = FastSpeech2Align(cfg_dense, pre)
+        loss = FastSpeech2Loss(pre)
+        mesh = make_mesh((8,), ("data",))
+
+        rng = np.random.RandomState(4)
+        B, L, T = 2, 10, 64           # T divides the 8-way mesh axis
+        batch = Batch(
+            texts=jnp.asarray(rng.randint(2, 300, (B, L)), jnp.int32),
+            src_lens=jnp.asarray([L, L - 2], jnp.int32),
+            mels=jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
+            mel_lens=jnp.asarray([T, T - 9], jnp.int32),
+            pitch=jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32),
+            energy=jnp.asarray(rng.uniform(0, 2, (B, T)), jnp.float32))
+        variables = model_dense.init(
+            jax.random.PRNGKey(0), batch.texts, batch.src_lens,
+            mels=batch.mels, mel_lens=batch.mel_lens,
+            p_targets=batch.pitch, e_targets=batch.energy)
+        tx = make_optimizer(OptimizerConfig(warm_up_step=5), 32)
+
+        step_dense = make_train_step(model_dense, loss)
+        step_sp = make_train_step(model_sp, loss, sp_mesh=mesh)
+        key = jax.random.PRNGKey(7)
+
+        # independent buffer copies: both steps donate their state
+        sd = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        ss = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        for _ in range(2):
+            sd, losses_d = step_dense(sd, batch, key)
+            ss, losses_s = step_sp(ss, batch, key)
+
+        np.testing.assert_allclose(float(losses_s.total),
+                                   float(losses_d.total),
+                                   atol=1e-4, rtol=1e-4)
+
+        # gradient equivalence, compared BEFORE the optimizer: Adam's
+        # rsqrt(v) normalization turns f32-reduction-order noise on
+        # near-zero grads into full-magnitude sign-flipped updates, so
+        # post-step params are not a meaningful equality target
+        from smart_nar_fast_tts_tpu.training.step import _forward_loss
+
+        def grads(model, sp):
+            # jitted: the SP path's internal device_put is a sharding
+            # constraint under jit but a committed-device clash eagerly
+            g, _ = jax.jit(jax.grad(lambda p: _forward_loss(
+                model, loss, p, variables.get("batch_stats", {}), batch,
+                key, True, sp), has_aux=True))(variables["params"])
+            return g
+
+        gd = grads(model_dense, None)
+        gs = grads(model_sp, mesh)
+        scale = max(float(jnp.max(jnp.abs(x)))
+                    for x in jax.tree.leaves(gd))
+        for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gd)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5 * max(scale, 1.0),
+                                       rtol=2e-3)
+
+    def test_sp_train_step_rejects_double_mesh(self):
+        import pytest
+
+        from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
+                                                   FastSpeech2Loss)
+        from smart_nar_fast_tts_tpu.training import make_train_step
+
+        cfg_sp, pre = self._cfg(True)
+        model = FastSpeech2Align(cfg_sp, pre)
+        loss = FastSpeech2Loss(pre)
+        mesh = make_mesh((8,), ("data",))
+        with pytest.raises(ValueError, match="not both"):
+            make_train_step(model, loss, mesh=mesh, sp_mesh=mesh)
+
     def test_sp_without_mesh_raises(self):
         from smart_nar_fast_tts_tpu.models import FastSpeech2Align
 
