@@ -100,6 +100,7 @@ def main(argv=None) -> None:
             lines += [ln.strip() for ln in f if ln.strip()]
 
     ext_err, prd_err, bnd_rmse, diag = [], [], [], []
+    owner_hits, owner_near, gt_all = [], [], []
     n_phones_total = 0
     for ln in lines:
         name, speaker, text, _ = ln.split("|")
@@ -155,6 +156,10 @@ def main(argv=None) -> None:
         diag.append(float(np.mean(
             np.sum(attn[:T, :Lr] * near, axis=1)
             / np.maximum(np.sum(attn[:T, :Lr], axis=1), 1e-9))))
+        am = np.argmax(attn[:T, :Lr], axis=1)
+        owner_hits.append(float(np.mean(am == owner)))
+        owner_near.append(float(np.mean(np.abs(am - owner) <= 1)))
+        gt_all.append(gt_dur)
 
     ext = np.concatenate(ext_err)
     prd = np.concatenate(prd_err)
@@ -169,6 +174,12 @@ def main(argv=None) -> None:
             / pre_cfg.audio.sampling_rate * 1e3, 2),
         "predicted_duration_mae_frames": round(float(prd.mean()), 3),
         "boundary_rmse_frames": round(float(np.mean(bnd_rmse)), 3),
+        "gt_duration_mean_frames": round(
+            float(np.concatenate(gt_all).mean()), 2),
+        "frame_owner_argmax_accuracy": round(
+            float(np.mean(owner_hits)), 4),
+        "frame_owner_argmax_within_pm1": round(
+            float(np.mean(owner_near)), 4),
         "diagonal_mass_pm1": round(float(np.mean(diag)), 4),
         "uniform_baseline_diagonal_mass": round(
             3.0 / (n_phones_total / len(lines)), 4),

@@ -85,6 +85,13 @@ def main() -> None:
             "achieved_tflops": round(flops / seconds / 1e12, 2),
             "peak_fraction": round(flops / seconds / 1e12
                                    / PEAK_TFLOPS[dtype], 3),
+            # the honest denominator: XLA default matmul precision runs
+            # f32 operands on the bf16 MXU (one pass, ~190 TFLOP/s
+            # measured — DESIGN.md §4b, benchmarks/bf16_probe.py), so the
+            # machine peak is 197 for BOTH dtype policies; "peak_fraction"
+            # against 98 f32 overstates f32 utilization ~2x
+            "mxu_peak_fraction": round(flops / seconds / 1e12
+                                       / PEAK_TFLOPS["bfloat16"], 3),
         })
         print(json.dumps(results[-1]), flush=True)
 

@@ -1,0 +1,196 @@
+"""Side-by-side vocoder quality table: which family serves by default?
+
+VERDICT round-3 Next #2: the Vocos iSTFT head is 43x under the RTF target
+but had only a smoke checkpoint and no quality comparison against the
+GAN-trained HiFi-GAN.  This harness makes the default-vocoder decision a
+data question: for every family with committed trained params
+(``benchmarks/results/vocoder_params.npz`` = HiFi-GAN V1,
+``vocos_params.npz`` = Vocos, ``melgan_params.npz`` if ever promoted), run
+the generator over the HELD-OUT val split of the synthetic corpus (the
+same corpus the GANs trained on, val utts excluded by the preprocessor's
+seeded split) and report objective resynthesis metrics:
+
+- ``mel_l1``: log-mel L1 between GT mel and mel(vocoded wav) — the same
+  measure the GAN's mel loss optimizes, on unseen audio;
+- ``f0_rmse_hz`` / ``voicing_agreement``: DIO+StoneMask F0 of vocoded vs
+  GT waveform on frames both judge voiced — prosody preservation, the
+  quantity TTS serving actually cares about;
+- ``wave_l2``: waveform relative L2 (loose — GAN vocoders are not
+  phase-exact, listed for completeness).
+
+RTF numbers live in ``bench.py`` (chip-measured per family); this file is
+the quality side of the table.  Writes
+``benchmarks/results/vocoder_quality.json``.
+
+Run: ``python -m benchmarks.vocoder_quality [--split val|all]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results")
+OUT = os.path.join(RESULTS, "vocoder_quality.json")
+
+
+def _load_family(name, jnp):
+    """(generator, variables) for a committed family, or None."""
+    import jax
+
+    from benchmarks.train_flagship import load_variables_npz
+    from smart_nar_fast_tts_tpu.vocoder import (HiFiGANConfig,
+                                                HiFiGANGenerator,
+                                                MelGANConfig,
+                                                MelGANGenerator,
+                                                VocosConfig, VocosGenerator)
+    stem = {"hifigan": "vocoder", "vocos": "vocos", "melgan": "melgan"}[name]
+    npz = os.path.join(RESULTS, f"{stem}_params.npz")
+    if not os.path.exists(npz):
+        return None
+    meta_path = os.path.join(RESULTS, f"{stem}_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    cfg_cls = {"hifigan": HiFiGANConfig, "vocos": VocosConfig,
+               "melgan": MelGANConfig}[name]
+    cfg = (cfg_cls(**meta["config"]) if isinstance(meta.get("config"), dict)
+           else cfg_cls())
+    gen_cls = {"hifigan": HiFiGANGenerator, "vocos": VocosGenerator,
+               "melgan": MelGANGenerator}[name]
+    gen = gen_cls(cfg)
+    variables = gen.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 16, cfg.n_mels)))
+    variables = load_variables_npz(npz, variables)
+    return gen, variables, meta
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/smart_tts_vocq")
+    ap.add_argument("--split", choices=("val", "all"), default="val")
+    ap.add_argument("--n_utts", type=int, default=96)
+    args = ap.parse_args(argv)
+
+    from smart_nar_fast_tts_tpu.cli._args import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.learning_curve import make_corpus
+    from smart_nar_fast_tts_tpu.audio.stft import (MelSpectrogramConfig,
+                                                   mel_spectrogram)
+    from smart_nar_fast_tts_tpu.config import AudioConfig, PreprocessConfig
+    from smart_nar_fast_tts_tpu.data.alignment import get_alignment
+    from smart_nar_fast_tts_tpu.data.pitch import estimate_f0
+    from smart_nar_fast_tts_tpu.data.preprocessor import Preprocessor
+    from smart_nar_fast_tts_tpu.data.textgrid import read_textgrid
+    from smart_nar_fast_tts_tpu.data.wavio import load_wav
+
+    os.makedirs(args.workdir, exist_ok=True)
+    in_dir, out_dir = make_corpus(args.workdir, n_utts=args.n_utts)
+    pre_cfg = PreprocessConfig(data_path=in_dir, preprocessed_path=out_dir,
+                               val_size=4, audio=AudioConfig())
+    Preprocessor(pre_cfg).build_from_path(seed=7)
+    sr = pre_cfg.audio.sampling_rate
+    hop = pre_cfg.audio.hop_length
+    mel_cfg = MelSpectrogramConfig()
+
+    splits = (("val.txt",) if args.split == "val"
+              else ("val.txt", "train.txt"))
+    utts = []
+    for split in splits:
+        with open(os.path.join(out_dir, split)) as f:
+            utts += [ln.strip().split("|")[:2] for ln in f if ln.strip()]
+
+    # GT mels are stored UN-normalized?  No — preprocessor z-norms pitch and
+    # energy only; mels are raw log-mels, exactly what vocoders consume.
+    items = []
+    for name, speaker in utts:
+        mel = np.load(os.path.join(out_dir, "mel",
+                                   f"{speaker}-mel-{name}.npy"))
+        tg = read_textgrid(os.path.join(out_dir, "TextGrid", speaker,
+                                        f"{name}.TextGrid"))
+        _, _, start, end = get_alignment(tg.get_tier_by_name("phones"),
+                                         sr, hop)
+        wav, _ = load_wav(os.path.join(in_dir, speaker, f"{name}.wav"), sr)
+        wav = wav[int(sr * start):int(sr * end)][: mel.shape[0] * hop]
+        items.append((name, mel.astype(np.float32),
+                      wav.astype(np.float32)))
+
+    table = {}
+    for family in ("hifigan", "vocos", "melgan"):
+        loaded = _load_family(family, jnp)
+        if loaded is None:
+            continue
+        gen, variables, meta = loaded
+        apply = jax.jit(gen.apply)
+        # one padded bucket shape -> one compile for all utterances (the
+        # remote chip pays ~minutes per distinct traced shape); vocoded
+        # audio is trimmed back to the true frame count, and the pad region
+        # cannot influence kept samples beyond the receptive halo, which
+        # the trim discards anyway
+        T_BUCKET = max(it[1].shape[0] for it in items)
+        mel_l1s, f0_rmses, voic_agree, wave_l2s = [], [], [], []
+        for name, mel, wav_gt in items:
+            melp = np.zeros((T_BUCKET, mel.shape[1]), np.float32)
+            melp[: mel.shape[0]] = mel
+            wav = np.asarray(apply(variables,
+                                   jnp.asarray(melp[None])))[0]
+            wav = wav[: wav_gt.shape[0]]
+            n = min(wav.shape[0], wav_gt.shape[0])
+            wav, wg = wav[:n], wav_gt[:n]
+
+            remel, _ = mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+            remel = np.asarray(remel)[0].T[: mel.shape[0]]
+            t = remel.shape[0]
+            mel_l1s.append(float(np.mean(np.abs(remel - mel[:t]))))
+
+            f0_v = estimate_f0(wav, sr, hop)
+            f0_g = estimate_f0(wg, sr, hop)
+            m = min(len(f0_v), len(f0_g))
+            f0_v, f0_g = f0_v[:m], f0_g[:m]
+            both = (f0_v > 0) & (f0_g > 0)
+            either = (f0_v > 0) | (f0_g > 0)
+            if both.any():
+                f0_rmses.append(float(np.sqrt(np.mean(
+                    (f0_v[both] - f0_g[both]) ** 2))))
+            if either.any():
+                voic_agree.append(float(both.sum() / either.sum()))
+            wave_l2s.append(float(np.linalg.norm(wav - wg)
+                                  / (np.linalg.norm(wg) + 1e-9)))
+
+        table[family] = {
+            "params": f"{family}: "
+                      f"{meta.get('steps', '?')} steps"
+                      + (f" ({meta['note']})" if meta.get("note") else ""),
+            "n_utts": len(items),
+            "mel_l1": round(float(np.mean(mel_l1s)), 4),
+            "f0_rmse_hz": round(float(np.mean(f0_rmses)), 2)
+            if f0_rmses else None,
+            "voicing_agreement": round(float(np.mean(voic_agree)), 4)
+            if voic_agree else None,
+            "wave_rel_l2": round(float(np.mean(wave_l2s)), 4),
+        }
+        print(json.dumps({family: table[family]}), flush=True)
+
+    if table:
+        best = min(table, key=lambda k: table[k]["mel_l1"])
+        report = {"split": args.split, "held_out": args.split == "val",
+                  "families": table, "best_mel_l1": best,
+                  "decision_note": "serving default should pair this "
+                                   "table with bench.py per-family RTFs"}
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({"best_mel_l1": best}))
+    else:
+        print(json.dumps({"error": "no committed vocoder params found"}))
+
+
+if __name__ == "__main__":
+    main()
