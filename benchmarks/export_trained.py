@@ -31,7 +31,11 @@ def main(argv=None) -> None:
     parser.add_argument("--out_dir", default="/tmp/art_flagship")
     parser.add_argument("--vocoder_ckpt", default=None,
                         help="msgpack generator (default: committed "
-                             "vocoder_params.npz)")
+                             "params of --family)")
+    parser.add_argument("--family", choices=("vocos", "hifigan"),
+                        default="vocos",
+                        help="vocoder family to export (default: vocos, "
+                             "the serving default per vocoder_quality)")
     args = parser.parse_args(argv)
 
     from smart_nar_fast_tts_tpu.cli._args import enable_compilation_cache
@@ -48,6 +52,8 @@ def main(argv=None) -> None:
                                                 export_serving_artifacts)
     from smart_nar_fast_tts_tpu.vocoder import (HiFiGANConfig,
                                                 HiFiGANGenerator,
+                                                VocosConfig,
+                                                VocosGenerator,
                                                 load_hifigan)
 
     meta = json.load(open(os.path.join(RESULTS, "flagship_meta.json")))
@@ -63,14 +69,24 @@ def main(argv=None) -> None:
     if args.vocoder_ckpt:
         gen, gen_vars = load_hifigan(args.vocoder_ckpt)
     else:
-        gen = HiFiGANGenerator(HiFiGANConfig())
+        stem = {"hifigan": "vocoder", "vocos": "vocos"}[args.family]
+        vmeta_path = os.path.join(RESULTS, f"{stem}_meta.json")
+        cfg_kw = {}
+        if os.path.exists(vmeta_path):
+            vm = json.load(open(vmeta_path))
+            if isinstance(vm.get("config"), dict):
+                cfg_kw = vm["config"]
+        if args.family == "vocos":
+            gen = VocosGenerator(VocosConfig(**cfg_kw))
+        else:
+            gen = HiFiGANGenerator(HiFiGANConfig(**cfg_kw))
         gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-        voc_npz = os.path.join(RESULTS, "vocoder_params.npz")
+        voc_npz = os.path.join(RESULTS, f"{stem}_params.npz")
         if os.path.exists(voc_npz):
             gen_vars = load_variables_npz(voc_npz, gen_vars)
-            voc_src = "vocoder_params.npz"
+            voc_src = f"{stem}_params.npz ({args.family})"
         else:
-            voc_src = "random_init"
+            voc_src = f"random_init ({args.family})"
 
     manifest = export_serving_artifacts(
         args.out_dir, model, variables,
