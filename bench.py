@@ -372,8 +372,10 @@ def main():
             wav = vgen.apply(vvars, m)
             return bm.collapse(wav, c)
 
-        m_mel1 = bm.seconds_per_iteration(mel1_step, k_hi=17)
-        m_win = bm.seconds_per_iteration(voc_win_step, k_hi=17)
+        # autoscaled: the Vocos window at B=1 is tens of microseconds —
+        # far below the dispatch-jitter floor of a fixed 17-trip slope
+        m_mel1 = bm.seconds_per_iteration_autoscaled(mel1_step, k_hi=17)
+        m_win = bm.seconds_per_iteration_autoscaled(voc_win_step, k_hi=17)
         ttfa_ms = (m_mel1.seconds + m_win.seconds) * 1e3
         chunk_audio_s = STREAM_CHUNK * HOP / SR
         extra["streaming"] = {

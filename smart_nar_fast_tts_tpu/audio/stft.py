@@ -111,14 +111,33 @@ def _window_sumsquare(cfg: MelSpectrogramConfig, n_frames: int) -> np.ndarray:
 def _overlap_add(frames: jnp.ndarray, cfg: MelSpectrogramConfig
                  ) -> jnp.ndarray:
     """(B, F, n_fft) time frames → (B, hop·(F−1)) signal: synthesis window,
-    scatter-add at every hop, window-sumsquare normalize, center trim."""
+    overlap-add at every hop, window-sumsquare normalize, center trim.
+
+    When ``hop | n_fft`` (every standard config here: 1024/256), the
+    overlap-add is computed scatter-free: each frame splits into
+    R = n_fft/hop hop-aligned chunks, and chunk r of frame f lands at
+    block f+r — so the whole reduction is R shifted pads + adds.  The
+    scatter-add formulation this replaces (duplicate indices, 525k rows at
+    n_fft=1024) measured **7.7 ms of the 10.9 ms Vocos forward** on a v5e
+    (71% of the serving default's vocoder time, benchmarks round 4); the
+    pad-sum form is pure layout + vector adds.
+    """
     frames = frames * jnp.asarray(cfg.window)     # synthesis window
     b, f, _ = frames.shape
-    n = cfg.n_fft + cfg.hop_length * (f - 1)
-    # Overlap-add via scatter-add with static indices.
-    idx = (np.arange(f)[:, None] * cfg.hop_length
-           + np.arange(cfg.n_fft)[None, :]).reshape(-1)
-    sig = jnp.zeros((b, n)).at[:, idx].add(frames.reshape(b, -1))
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    n = n_fft + hop * (f - 1)
+    if n_fft % hop == 0:
+        r_count = n_fft // hop
+        chunks = frames.reshape(b, f, r_count, hop)
+        sig = sum(
+            jnp.pad(chunks[:, :, r, :],
+                    ((0, 0), (r, r_count - 1 - r), (0, 0)))
+            for r in range(r_count)).reshape(b, n)
+    else:
+        # general hop: scatter-add with static (duplicate) indices
+        idx = (np.arange(f)[:, None] * hop
+               + np.arange(n_fft)[None, :]).reshape(-1)
+        sig = jnp.zeros((b, n)).at[:, idx].add(frames.reshape(b, -1))
     wss = _window_sumsquare(cfg, f)
     sig = jnp.where(wss[None, :] > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
     pad = cfg.n_fft // 2

@@ -87,6 +87,38 @@ class VocosConfig:
         return cls(**d)
 
 
+class _DepthwiseConv1d(nn.Module):
+    """Depthwise k-tap conv as k shifted broadcast-multiply-adds.
+
+    XLA's grouped-conv lowering (``feature_group_count=dim``) measured 2x
+    slower than this pure vector form across an 8-block stack on v5e
+    (1.44 vs 0.72 ms, benchmarks round 4): with one tap per group there is
+    no contraction for the MXU, so the op belongs on the VPU as shifts and
+    FMAs.  Params are named/shaped exactly like
+    ``nn.Conv(dim, (k,), feature_group_count=dim, name=...)`` —
+    ``kernel (k, 1, dim)``, ``bias (dim,)`` — so existing checkpoints
+    (msgpack and npz alike) load unchanged.
+    """
+
+    dim: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        r = (self.kernel_size - 1) // 2
+        xp = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (r, self.kernel_size // 2), (0, 0)))
+        w = kernel[:, 0, :].astype(self.dtype)
+        return sum(xp[:, j:j + x.shape[1], :] * w[j]
+                   for j in range(self.kernel_size)
+                   ) + bias.astype(self.dtype)
+
+
 class ConvNeXtBlock1d(nn.Module):
     """Depthwise k-tap frame mixing + pointwise MLP, layer-scaled residual."""
 
@@ -98,10 +130,8 @@ class ConvNeXtBlock1d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Conv(self.dim, (self.kernel,),
-                    padding=[((self.kernel - 1) // 2, self.kernel // 2)],
-                    feature_group_count=self.dim, dtype=self.dtype,
-                    name="dwconv")(x)
+        h = _DepthwiseConv1d(self.dim, self.kernel, dtype=self.dtype,
+                             name="dwconv")(x)
         h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
         h = nn.Dense(self.intermediate, dtype=self.dtype, name="pw1")(h)
         h = nn.gelu(h)
