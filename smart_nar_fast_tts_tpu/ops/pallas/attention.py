@@ -143,8 +143,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         block_q/block_k: VMEM tile sizes along the sequence axes.
         interpret: run the kernel in interpreter mode (CPU testing).
 
-    Returns (B, H, Lq, D), matching ``masked_softmax`` attention to fp32
-    accuracy, with zero rows where no key is valid.
+    Returns (B, H, Lq, D) with zero rows where no key is valid.
+
+    Numerics: the kernel truncates q/k/v and the probability tile to
+    bfloat16 and accumulates the two matmuls in float32 — the same
+    bf16-operand / f32-accumulation contract as XLA's default TPU matmul
+    precision — so the output matches ``masked_softmax`` attention to
+    ~1e-2 relative (bf16 mantissa), not fp32-exact.  The backward pass is
+    the *f32 reference VJP* (recomputed dense attention), so gradients
+    correspond to the f32 function, which differs from the bf16 forward
+    by the same truncation error; for training at these tolerances this
+    is the standard mixed-precision approximation.
     """
     return _flash_forward(q, k, v, key_valid, block_q=block_q,
                           block_k=block_k, interpret=interpret)

@@ -97,6 +97,10 @@ def export_serving_artifacts(
     ``mel_caps`` are the acoustic frame capacities exported per text bucket
     (default: just ``max_mel_len``); parameters are stored once in
     ``params.npz``, never duplicated per program."""
+    if int(stream_chunk) < 1:
+        # mirrors StreamingVocoder.__init__ — catching it at export time
+        # beats a range() error at serving time
+        raise ValueError(f"stream_chunk must be >= 1, got {stream_chunk}")
     os.makedirs(out_dir, exist_ok=True)
     B = int(batch_size)
     caps = sorted(set(int(c) for c in (mel_caps or (max_mel_len,))))
@@ -346,12 +350,10 @@ class ExportedTTS:
         out = prog.call(*args)
         return jax.tree.map(np.asarray, out)
 
-    def synthesize(self, token_ids: np.ndarray, speaker: int = 0
-                   ) -> np.ndarray:
-        """(n,) int token ids → float32 waveform in [-1, 1]."""
-        if not self._vocoder:
-            raise ValueError("artifact was exported without a vocoder")
-        out = self.acoustic(token_ids, speaker)
+    def _vocode(self, out: dict) -> np.ndarray:
+        """Vocoder tail shared by :meth:`synthesize` and the degenerate
+        :meth:`stream` fallback — takes already-computed acoustic outputs
+        so the fallback never re-runs probe + acoustic."""
         t = max(int(out["mel_lens"][0]), 1)
         prog = self._pick(self._vocoder, t, "mel")
         mel = np.zeros((self.batch_size, prog.bucket,
@@ -359,6 +361,13 @@ class ExportedTTS:
         mel[0, :t] = out["postnet_mel"][0, :t]
         wav = np.asarray(prog.call(self._vleaves, jnp.asarray(mel)))
         return wav[0, : t * self.hop]
+
+    def synthesize(self, token_ids: np.ndarray, speaker: int = 0
+                   ) -> np.ndarray:
+        """(n,) int token ids → float32 waveform in [-1, 1]."""
+        if not self._vocoder:
+            raise ValueError("artifact was exported without a vocoder")
+        return self._vocode(self.acoustic(token_ids, speaker))
 
     def stream(self, token_ids: np.ndarray, speaker: int = 0):
         """(n,) int token ids → iterator of float32 waveform chunks, from
@@ -384,8 +393,9 @@ class ExportedTTS:
         prog = self._pick(self._vocoder, t, "mel")
         if self._stream_prog is None or prog.bucket < w:
             # no streaming program (or the covering bucket is narrower than
-            # one window): degenerate single-chunk stream via the full path
-            yield self.synthesize(token_ids, speaker)
+            # one window): degenerate single-chunk stream through the
+            # vocoder tail only (the acoustic pass above is reused)
+            yield self._vocode(out)
             return
         mel = np.zeros((prog.bucket, out["postnet_mel"].shape[-1]),
                        np.float32)

@@ -151,7 +151,8 @@ def make_train_step(model, loss_fn, grad_acc_steps: int = 1,
 
 def make_multi_step(model, loss_fn, num_steps: int,
                     grad_acc_steps: int = 1, mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> Callable:
+                    data_axis: str = "data",
+                    sp_mesh: Optional[Mesh] = None) -> Callable:
     """``(state, batches, rng) -> (state, LossBreakdown[num_steps])`` with
     ``num_steps`` optimizer updates inside ONE compiled dispatch
     (``lax.scan`` over a super-batch whose leading axis is the step axis).
@@ -164,8 +165,16 @@ def make_multi_step(model, loss_fn, num_steps: int,
 
     ``batches`` is a :class:`Batch` whose arrays have shape
     ``(num_steps, B, ...)``; losses come back stacked per step.
+
+    ``sp_mesh`` mirrors :func:`make_train_step` — a model built with
+    ``cfg.sequence_parallel`` needs the mesh threaded to every apply.
     """
-    one_step = _make_step_fn(model, loss_fn, grad_acc_steps)
+    one_step = _make_step_fn(model, loss_fn, grad_acc_steps,
+                             sp_mesh=sp_mesh)
+    if sp_mesh is not None and not _trivial_mesh(sp_mesh):
+        if mesh is not None and not _trivial_mesh(mesh):
+            raise ValueError("pass either mesh (data parallel) or sp_mesh "
+                             "(sequence parallel), not both")
 
     def multi(state: TrainState, batches: Batch, rng):
         def body(state, mb):
@@ -182,7 +191,8 @@ def make_multi_step(model, loss_fn, num_steps: int,
 
 
 def make_eval_step(model, loss_fn, mesh: Optional[Mesh] = None,
-                   data_axis: str = "data") -> Callable:
+                   data_axis: str = "data",
+                   sp_mesh: Optional[Mesh] = None) -> Callable:
     """Jitted ``(state, batch) -> (LossBreakdown, LossBreakdown)`` over the
     val split (the reference's missing ``evaluate.py`` contract,
     SURVEY.md §3.5).
@@ -199,7 +209,7 @@ def make_eval_step(model, loss_fn, mesh: Optional[Mesh] = None,
     def step(state: TrainState, batch: Batch):
         _, (losses, _, _) = _forward_loss(
             model, loss_fn, state.params, state.batch_stats, batch,
-            None, False)
+            None, False, sp_mesh)
         src = jnp.sum(batch.src_lens.astype(jnp.float32))
         mel = jnp.sum(batch.mel_lens.astype(jnp.float32))
         pairs = jnp.sum(batch.src_lens.astype(jnp.float32)

@@ -236,3 +236,46 @@ class TestModelSequenceParallel:
         with pytest.raises(ValueError, match="sp_mesh"):
             model.init(jax.random.PRNGKey(0), texts, src_lens,
                        max_mel_len=64)
+
+    def test_sp_eval_step_matches_dense(self):
+        """ADVICE r4: ``make_eval_step(sp_mesh=...)`` must let SP configs
+        compute val losses (previously it raised 'pass sp_mesh=' inside
+        encoders.py because the mesh was never threaded through)."""
+        from smart_nar_fast_tts_tpu.config import OptimizerConfig
+        from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
+                                                   FastSpeech2Loss)
+        from smart_nar_fast_tts_tpu.training import (Batch,
+                                                     create_train_state,
+                                                     make_eval_step,
+                                                     make_optimizer)
+
+        cfg_sp, pre = self._cfg(True)
+        cfg_dense, _ = self._cfg(False)
+        model_sp = FastSpeech2Align(cfg_sp, pre)
+        model_dense = FastSpeech2Align(cfg_dense, pre)
+        loss = FastSpeech2Loss(pre)
+        mesh = make_mesh((8,), ("data",))
+
+        rng = np.random.RandomState(5)
+        B, L, T = 2, 10, 64
+        batch = Batch(
+            texts=jnp.asarray(rng.randint(2, 300, (B, L)), jnp.int32),
+            src_lens=jnp.asarray([L, L - 2], jnp.int32),
+            mels=jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
+            mel_lens=jnp.asarray([T, T - 7], jnp.int32),
+            pitch=jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32),
+            energy=jnp.asarray(rng.uniform(0, 2, (B, T)), jnp.float32))
+        variables = model_dense.init(
+            jax.random.PRNGKey(0), batch.texts, batch.src_lens,
+            mels=batch.mels, mel_lens=batch.mel_lens,
+            p_targets=batch.pitch, e_targets=batch.energy)
+        tx = make_optimizer(OptimizerConfig(warm_up_step=5), 32)
+        state = create_train_state(variables, tx)
+
+        losses_d, wd = make_eval_step(model_dense, loss)(state, batch)
+        losses_s, ws = make_eval_step(model_sp, loss, sp_mesh=mesh)(
+            state, batch)
+        np.testing.assert_allclose(float(losses_s.total),
+                                   float(losses_d.total),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(float(ws.mel), float(wd.mel))

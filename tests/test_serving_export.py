@@ -432,3 +432,13 @@ class TestVocosExport:
         assert s["halo_frames"] == halo
         assert s["window_frames"] == 16 + 2 * halo
         assert os.path.exists(out / s["file"])
+
+
+def test_export_rejects_zero_stream_chunk(tmp_path):
+    """ADVICE r4: stream_chunk < 1 must fail at export time, not as a
+    range() error inside ExportedTTS.stream at serving time."""
+    import pytest
+    with pytest.raises(ValueError, match="stream_chunk"):
+        export_serving_artifacts(
+            str(tmp_path / "bad"), None, None,
+            text_buckets=[16], mel_buckets=[64], stream_chunk=0)
