@@ -68,6 +68,21 @@ class HiFiGANConfig:
     # TPU emitter already skips the dilation zeros, and polyphase pays for
     # its pad+reshape.  Kept selectable so the A/B stays reproducible.
     transpose_impl: str = "dilated"
+    # Low-channel tail execution.  "grouped" (default) runs every stage
+    # whose channel count drops below the 128-lane MXU width in a
+    # space-to-depth layout: g = 128//C consecutive time steps are folded
+    # into the feature axis so each conv becomes a stride-1 dense conv
+    # over (T/g, g·C) with a block-banded kernel (_grouped_conv_kernel).
+    # Rationale: the v5e MXU is a 128x128 systolic array, so a C-channel
+    # conv matmul runs at (C/128)^2 utilization — measured exactly on the
+    # V1 tail (round-4 vocoder_stages.json: stage3 at C=32 hit 11.5 of
+    # 197 TFLOP/s = the 6.25% padding bound).  The grouped form trades a
+    # ~2-3x dense-FLOP overhead (zeros in the block-banded kernel) for
+    # full-width MXU tiles.  Measured, full V1 generator B8xT512 on a v5e
+    # chip: f32 49.1 -> 26.8 ms (1.83x), bf16 36.8 -> 23.4 ms (1.57x).
+    # Identical math and identical parameter tree; "plain" keeps the
+    # per-channel lowering for A/B and for torch-checkpoint bit-parity.
+    tail_impl: str = "grouped"
 
     def __post_init__(self):
         # Coerce any list-valued Sequence fields to tuples so every
@@ -99,6 +114,7 @@ class HiFiGANConfig:
             "sampling_rate": self.sampling_rate,
             "compute_dtype": self.compute_dtype,
             "transpose_impl": self.transpose_impl,
+            "tail_impl": self.tail_impl,
         }
 
     @classmethod
@@ -107,7 +123,7 @@ class HiFiGANConfig:
             "resblock", "upsample_rates", "upsample_kernel_sizes",
             "upsample_initial_channel", "resblock_kernel_sizes",
             "resblock_dilation_sizes", "compute_dtype",
-            "transpose_impl") if k in d}
+            "transpose_impl", "tail_impl") if k in d}
         if "num_mels" in d:
             keep["n_mels"] = d["num_mels"]
         if "sampling_rate" in d:
@@ -115,21 +131,143 @@ class HiFiGANConfig:
         return cls(**keep)
 
 
+def _scatter_blocks(entries, span, m_min, cin, cout, gin, gout, kernel):
+    """Assemble a block-banded grouped kernel (span, gin·cin, gout·cout)
+    from ``entries`` = [(m, a, b, i)]: grouped tap ``m`` maps input slot
+    ``a`` (of gin) to output slot ``b`` (of gout) through original tap
+    ``kernel[i]``.
+
+    Built as ONE masked gather (index maps are host-side numpy constants)
+    rather than a per-entry scatter chain — entry counts reach
+    ``g·k ≈ 10³`` at small channel counts, where an unrolled
+    ``.at[].set`` chain explodes trace/compile time."""
+    import numpy as np
+    idx = np.zeros((span, gin, gout), np.int32)
+    mask = np.zeros((span, gin, gout), bool)
+    for m, a, b, i in entries:
+        idx[m - m_min, a, b] = i
+        mask[m - m_min, a, b] = True
+    # gather (span, gin, gout, cin, cout), zero the unoccupied blocks,
+    # then interleave slots with channels: (m, a·cin+c, b·cout+c')
+    w = jnp.where(jnp.asarray(mask)[..., None, None],
+                  kernel[jnp.asarray(idx)], 0)
+    w = jnp.transpose(w, (0, 1, 3, 2, 4))
+    return w.reshape(span, gin * cin, gout * cout)
+
+
+def _grouped_conv_kernel(kernel: jnp.ndarray, dilation: int, g: int,
+                         pad: int):
+    """Space-to-depth form of a stride-1 dilated conv.
+
+    With x viewed grouped as ``X[s, a·C+c] = x[g·s+a, c]``, the conv
+    ``y[n] = Σ_i x[n + i·d − pad]·W[i]`` becomes a stride-1 dense conv
+    over X: output slot ``b`` at grouped step s reads ungrouped index
+    ``e = b + i·d − pad``, i.e. grouped tap ``m = ⌊e/g⌋``, slot
+    ``a = e mod g``.  Returns ``(W', m_min, m_max)`` where W' has shape
+    ``(m_max−m_min+1, g·Cin, g·Cout)``; callers zero-pad X by
+    ``(−m_min, m_max)`` rows and run a VALID conv — zero rows reproduce
+    the ungrouped zero padding exactly, so the result is bit-for-bit the
+    same function (up to f32 reduction order)."""
+    k, cin, cout = kernel.shape
+    ents = []
+    for b in range(g):
+        for i in range(k):
+            e = b + i * dilation - pad
+            ents.append((e // g, e % g, b, i))
+    m_min = min(e[0] for e in ents)
+    m_max = max(e[0] for e in ents)
+    w = _scatter_blocks(ents, m_max - m_min + 1, m_min, cin, cout, g, g,
+                        kernel)
+    return w, m_min, m_max
+
+
+def _grouped_convT_kernel(kernel: jnp.ndarray, u: int, p: int, gi: int):
+    """Space-to-depth form of the torch transposed conv: input grouped by
+    ``gi`` → output grouped by ``go = u·gi`` at the SAME grouped length.
+
+    Builds on :func:`_polyphase_taps` (y[u·t+r] = Σ x[t+m]·K[i]): with
+    t = gi·s + a the output lands in slot ``b = u·a + r`` of grouped step
+    s, reading grouped input tap ``⌊(a+m)/gi⌋`` slot ``(a+m) mod gi``."""
+    k, cin, cout = kernel.shape
+    taps, _, _ = _polyphase_taps(k, u, p)
+    ents = []
+    for r, m, i in taps:
+        for a in range(gi):
+            e = a + m
+            ents.append((e // gi, e % gi, u * a + r, i))
+    m_min = min(e[0] for e in ents)
+    m_max = max(e[0] for e in ents)
+    w = _scatter_blocks(ents, m_max - m_min + 1, m_min, cin, cout, gi,
+                        u * gi, kernel)
+    return w, m_min, m_max
+
+
+def _regroup(x: jnp.ndarray, g_from: int, g_to: int, ch: int) -> jnp.ndarray:
+    """(B, T/g_from, g_from·ch) → (B, T/g_to, g_to·ch) — pure reshape."""
+    if g_from == g_to:
+        return x
+    b = x.shape[0]
+    return x.reshape(b, -1, ch).reshape(b, -1, g_to * ch)
+
+
+def _target_group(ch: int, t_ungrouped: int) -> int:
+    """Largest space-to-depth factor g with g·ch ≤ 128 that divides T."""
+    g = max(1, 128 // ch)
+    while g > 1 and t_ungrouped % g:
+        g -= 1
+    return g
+
+
+class _ConvParams(nn.Module):
+    """Bare kernel+bias declaration matching ``nn.Conv``'s param names,
+    shapes, and initializers — lets the grouped path consume the identical
+    parameter tree that the plain ``nn.Conv`` path creates."""
+
+    kernel_shape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.kernel_shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Conv1d(nn.Module):
-    """Plain 1-D conv, feature-last, torch-compatible explicit padding."""
+    """Plain 1-D conv, feature-last, torch-compatible explicit padding.
+
+    With ``group > 1`` the input is a space-to-depth view (B, T/g, g·C)
+    and the conv runs as ONE dense stride-1 conv with the block-banded
+    kernel from :func:`_grouped_conv_kernel` — full 128-lane MXU tiles at
+    low channel counts (same math, same params)."""
 
     features: int
     kernel_size: int
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
+    group: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = (self.kernel_size - 1) * self.dilation // 2
-        return nn.Conv(self.features, (self.kernel_size,),
-                       kernel_dilation=(self.dilation,),
-                       padding=[(pad, pad)], dtype=self.dtype,
-                       name="conv")(x)
+        if self.group == 1:
+            return nn.Conv(self.features, (self.kernel_size,),
+                           kernel_dilation=(self.dilation,),
+                           padding=[(pad, pad)], dtype=self.dtype,
+                           name="conv")(x)
+        g = self.group
+        cin = x.shape[-1] // g
+        kernel, bias = _ConvParams((self.kernel_size, cin, self.features),
+                                   self.features, name="conv")()
+        w, m_min, m_max = _grouped_conv_kernel(kernel, self.dilation, g,
+                                               pad)
+        xpad = jnp.pad(x.astype(self.dtype),
+                       ((0, 0), (-m_min, m_max), (0, 0)))
+        y = lax.conv_general_dilated(
+            xpad, w.astype(self.dtype), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+        return y + jnp.tile(bias, g).astype(self.dtype)
 
 
 def _polyphase_taps(k: int, u: int, p: int):
@@ -172,17 +310,31 @@ class ConvTranspose1d(nn.Module):
     stride: int
     dtype: jnp.dtype = jnp.float32
     impl: str = "dilated"       # measured winner, see HiFiGANConfig
+    group_in: int = 1           # input space-to-depth factor ("grouped")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, u = self.kernel_size, self.stride
         p = (k - u) // 2
-        cin, cout = x.shape[-1], self.features
+        cin = x.shape[-1] // (self.group_in if self.impl == "grouped"
+                              else 1)
+        cout = self.features
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k, cin, cout))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.impl == "grouped":
+            # space-to-depth: (B, T/gi, gi·Cin) → (B, T/gi, u·gi·Cout),
+            # a grouped view of the (B, u·T, Cout) transposed-conv output
+            w, m_min, m_max = _grouped_convT_kernel(kernel, u, p,
+                                                    self.group_in)
+            xpad = jnp.pad(x.astype(self.dtype),
+                           ((0, 0), (-m_min, m_max), (0, 0)))
+            y = lax.conv_general_dilated(
+                xpad, w.astype(self.dtype), window_strides=(1,),
+                padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+            return y + jnp.tile(bias, u * self.group_in).astype(self.dtype)
         if self.impl == "dilated" or u == 1:
             y = lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
@@ -216,16 +368,19 @@ class ResBlock1(nn.Module):
     kernel_size: int
     dilations: Sequence[int] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
+    group: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilations):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = Conv1d(self.channels, self.kernel_size, dilation=d,
-                       dtype=self.dtype, name=f"convs1_{i}")(h)
+                       dtype=self.dtype, group=self.group,
+                       name=f"convs1_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             h = Conv1d(self.channels, self.kernel_size, dilation=1,
-                       dtype=self.dtype, name=f"convs2_{i}")(h)
+                       dtype=self.dtype, group=self.group,
+                       name=f"convs2_{i}")(h)
             x = x + h
         return x
 
@@ -237,13 +392,15 @@ class ResBlock2(nn.Module):
     kernel_size: int
     dilations: Sequence[int] = (1, 3)
     dtype: jnp.dtype = jnp.float32
+    group: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilations):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = Conv1d(self.channels, self.kernel_size, dilation=d,
-                       dtype=self.dtype, name=f"convs_{i}")(h)
+                       dtype=self.dtype, group=self.group,
+                       name=f"convs_{i}")(h)
             x = x + h
         return x
 
@@ -263,16 +420,28 @@ class HiFiGANGenerator(nn.Module):
 
         x = Conv1d(c.upsample_initial_channel, 7, dtype=dtype,
                    name="conv_pre")(mel.astype(dtype))
+        grouped = c.tail_impl == "grouped"
+        g = 1                       # current space-to-depth group of x
+        t = mel.shape[1]            # ungrouped time length of x
         for i, (u, k) in enumerate(zip(c.upsample_rates,
                                        c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
+            t = t * u
+            gt = _target_group(ch, t) if grouped else 1
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, dtype=dtype,
-                                impl=c.transpose_impl, name=f"ups_{i}")(x)
+            if g > 1 or gt > 1:
+                x = ConvTranspose1d(ch, k, u, dtype=dtype, impl="grouped",
+                                    group_in=g, name=f"ups_{i}")(x)
+                x = _regroup(x, g * u, gt, ch)
+                g = gt
+            else:
+                x = ConvTranspose1d(ch, k, u, dtype=dtype,
+                                    impl=c.transpose_impl,
+                                    name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):
-                y = res_cls(ch, rk, tuple(rd), dtype=dtype,
+                y = res_cls(ch, rk, tuple(rd), dtype=dtype, group=g,
                             name=f"resblocks_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / jnp.asarray(n_kernels, dtype)
@@ -280,8 +449,11 @@ class HiFiGANGenerator(nn.Module):
         # not LRELU_SLOPE — kept for checkpoint fidelity.  Final conv +
         # tanh in float32: the waveform's last linear map sets output SNR
         x = nn.leaky_relu(x.astype(jnp.float32), 0.01)
-        x = Conv1d(1, 7, name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        x = Conv1d(1, 7, group=g, name="conv_post")(x)
+        x = jnp.tanh(x)
+        if g > 1:                   # (B, T/g, g) → ungrouped (B, T, 1)
+            x = x.reshape(x.shape[0], -1, 1)
+        return x[..., 0]
 
 
 @functools.lru_cache(maxsize=8)

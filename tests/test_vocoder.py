@@ -265,3 +265,108 @@ def test_tensor_parallel_matches_single_device():
     got = forward(mel)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+class TestGroupedTail:
+    """``tail_impl='grouped'`` (round-5, VERDICT r4 Next #1): the
+    space-to-depth lowering of the low-channel tail must be the identical
+    function — same parameter tree, same output — as the plain path.
+
+    Exactness is checked under ``jax.default_matmul_precision('highest')``
+    because the *default* conv precision is bf16-class (the TPU MXU
+    contract): two different-but-exact lowerings then differ by bf16
+    rounding noise, which is a property of the arithmetic, not the
+    lowering (verified against an f64 oracle during development: plain
+    and grouped sit at the SAME distance from the true function)."""
+
+    def _pair(self, **kw):
+        import dataclasses
+        cfg = HiFiGANConfig(**kw)
+        return (HiFiGANGenerator(cfg),
+                HiFiGANGenerator(dataclasses.replace(
+                    cfg, tail_impl="grouped")))
+
+    def test_identical_param_tree(self):
+        import jax
+        gen, gen_g = self._pair(
+            upsample_rates=(8, 2, 2), upsample_kernel_sizes=(16, 4, 4),
+            upsample_initial_channel=64, resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5),) * 3)
+        mel = jnp.asarray(np.random.RandomState(0).randn(2, 24, 80),
+                          jnp.float32)
+        v = gen.init(jax.random.PRNGKey(0), mel)
+        vg = gen_g.init(jax.random.PRNGKey(0), mel)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(vg))
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(vg)):
+            assert a.shape == b.shape
+
+    def test_matches_plain_exactly_at_high_precision(self):
+        import jax
+        gen, gen_g = self._pair(
+            upsample_rates=(8, 2, 2), upsample_kernel_sizes=(16, 4, 4),
+            upsample_initial_channel=64, resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5),) * 3)
+        mel = jnp.asarray(np.random.RandomState(0).randn(2, 24, 80),
+                          jnp.float32)
+        v = gen.init(jax.random.PRNGKey(0), mel)
+        with jax.default_matmul_precision("highest"):
+            ya = gen.apply(v, mel)
+            yb = gen_g.apply(v, mel)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   atol=1e-6)
+
+    def test_full_v1_topology(self):
+        import jax
+        gen, gen_g = self._pair()          # real V1: 512→32, rates 8822
+        mel = jnp.asarray(np.random.RandomState(1).randn(1, 6, 80),
+                          jnp.float32)
+        v = gen.init(jax.random.PRNGKey(1), mel)
+        with jax.default_matmul_precision("highest"):
+            ya = gen.apply(v, mel)
+            yb = gen_g.apply(v, mel)
+        assert ya.shape == yb.shape == (1, 6 * 256)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   atol=1e-6)
+
+    def test_torch_oracle_parity(self, oracle):
+        """Grouped path against the torch V1 oracle — same tolerance the
+        plain path's parity test uses."""
+        import dataclasses
+        import jax
+        ref, sd = oracle
+        gen = HiFiGANGenerator(dataclasses.replace(SMALL,
+                                                   tail_impl="grouped"))
+        variables = {"params": torch_to_flax(sd, SMALL)}
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((2, 8, 23)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(mel)).numpy()[:, 0]
+        with jax.default_matmul_precision("highest"):
+            got = gen.apply(variables,
+                            jnp.asarray(mel.transpose(0, 2, 1)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_grad_flows_through_grouped(self):
+        """GAN training uses the generator forward; the block-banded
+        kernel assembly is linear in the params so grads must match the
+        plain path."""
+        import jax
+        gen, gen_g = self._pair(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 2),))
+        mel = jnp.asarray(np.random.RandomState(2).randn(1, 16, 80),
+                          jnp.float32)
+        v = gen.init(jax.random.PRNGKey(2), mel)
+
+        def loss(params, g):
+            return jnp.sum(g.apply({"params": params}, mel) ** 2)
+
+        with jax.default_matmul_precision("highest"):
+            ga = jax.grad(loss)(v["params"], gen)
+            gb = jax.grad(loss)(v["params"], gen_g)
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
