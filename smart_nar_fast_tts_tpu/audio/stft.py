@@ -90,6 +90,50 @@ def mel_spectrogram_jit(y: jnp.ndarray, cfg: MelSpectrogramConfig):
     return mel_spectrogram(y, cfg)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _mel_prepadded_jit(y: jnp.ndarray, cfg: MelSpectrogramConfig):
+    """mel/energy of an already reflect+zero padded (B, N) signal —
+    frames are taken directly (no internal padding)."""
+    n = y.shape[-1]
+    num_frames = 1 + (n - cfg.n_fft) // cfg.hop_length
+    idx = (np.arange(num_frames)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :])
+    frames = y[:, idx] * jnp.asarray(cfg.window)
+    mag = jnp.swapaxes(jnp.abs(jnp.fft.rfft(frames, axis=-1)), -1, -2)
+    mel = jnp.einsum("mf,bft->bmt", jnp.asarray(cfg.mel_basis), mag)
+    mel = jnp.log(jnp.clip(mel, min=cfg.compression_clip))
+    energy = jnp.linalg.norm(mag, axis=1)
+    return mel, energy
+
+
+def mel_spectrogram_bucketed(y: np.ndarray, cfg: MelSpectrogramConfig,
+                             bucket_frames: int = 256
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact :func:`mel_spectrogram` of a 1-D waveform through
+    SHAPE-BUCKETED compiled programs.
+
+    ``mel_spectrogram`` traces one XLA program per distinct waveform
+    length; a corpus preprocessor feeding it raw utterances therefore
+    compiles per *utterance* (measured ~9 s/utt on a tunneled chip, ~100%
+    compile).  Here the reflect padding is applied host-side, the padded
+    signal is zero-extended to a multiple of ``bucket_frames·hop``, and a
+    single jitted program per bucket computes the frames; the true frame
+    count is sliced off.  Zero-extension beyond the reflect pad cannot
+    reach any retained frame, so the result is numerically identical to
+    the unbucketed path — static shapes are how this stays TPU-native.
+    """
+    y = np.asarray(y, np.float32)
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    frames_true = 1 + len(y) // hop
+    y_ref = np.pad(y, (n_fft // 2, n_fft // 2), mode="reflect")
+    step = bucket_frames * hop
+    target = max(n_fft, ((len(y_ref) + step - 1) // step) * step)
+    y_pad = np.pad(y_ref, (0, target - len(y_ref)))
+    mel, energy = _mel_prepadded_jit(jnp.asarray(y_pad)[None], cfg)
+    return (np.asarray(mel[0])[:, :frames_true],
+            np.asarray(energy[0])[:frames_true])
+
+
 # ---------------------------------------------------------------------------
 # Inverse STFT + Griffin-Lim (debug/parity path; reference
 # audio/stft.py:83-124, audio/audio_processing.py:66-81)

@@ -25,7 +25,7 @@ import random
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.stft import MelSpectrogramConfig, mel_spectrogram
+from ..audio.stft import MelSpectrogramConfig, mel_spectrogram_bucketed
 from ..config import PreprocessConfig
 from .alignment import get_alignment
 from .native_f0 import estimate_f0_native as estimate_f0
@@ -106,10 +106,12 @@ class Preprocessor:
         if np.sum(pitch != 0) <= 1:
             return None
 
-        mel, energy = mel_spectrogram(
-            jnp.asarray(wav, jnp.float32)[None], self.mel_cfg)
-        mel = np.asarray(mel[0])[:, :total]            # (n_mels, T)
-        energy = np.asarray(energy[0])[:total]
+        # shape-bucketed mel: one compiled program per length bucket
+        # instead of one per utterance (identical numbers, see
+        # audio/stft.py::mel_spectrogram_bucketed)
+        mel, energy = mel_spectrogram_bucketed(wav, self.mel_cfg)
+        mel = mel[:, :total]                           # (n_mels, T)
+        energy = energy[:total]
 
         if self.cfg.pitch_feature == "phoneme_level":
             pitch = _phoneme_average(pitch, durations, interpolate=True)

@@ -138,3 +138,25 @@ def test_griffin_lim_reduces_error():
     rel = (np.linalg.norm(np.asarray(mag2 - mag))
            / np.linalg.norm(np.asarray(mag)))
     assert rel < 0.35
+
+
+def test_mel_spectrogram_bucketed_matches_unbucketed():
+    """Round-5: the shape-bucketed preprocessor mel path (one compiled
+    program per length bucket) must be numerically identical to the
+    per-length path — zero-extension beyond the host-side reflect pad
+    cannot reach any retained frame."""
+    import jax.numpy as jnp
+
+    from smart_nar_fast_tts_tpu.audio.stft import (MelSpectrogramConfig,
+                                                   mel_spectrogram,
+                                                   mel_spectrogram_bucketed)
+    cfg = MelSpectrogramConfig()
+    rng = np.random.default_rng(0)
+    for n in (22050, 30011, 7777):
+        y = rng.standard_normal(n).astype(np.float32) * 0.3
+        ma, ea = mel_spectrogram(jnp.asarray(y)[None], cfg)
+        mb, eb = mel_spectrogram_bucketed(y, cfg)
+        assert mb.shape == ma[0].shape
+        np.testing.assert_array_equal(np.asarray(ma[0]), mb)
+        np.testing.assert_allclose(np.asarray(ea[0]), eb, rtol=1e-5,
+                                   atol=1e-4)
