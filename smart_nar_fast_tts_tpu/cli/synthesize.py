@@ -114,7 +114,9 @@ def main(argv=None) -> None:
     os.makedirs(cfg.train.result_path, exist_ok=True)
 
     if args.text is not None:
-        if cfg.preprocess.language == "en":
+        if "{" in args.text:
+            phones = args.text          # already ARPAbet-in-braces
+        elif cfg.preprocess.language == "en":
             phones = G2P(cfg.preprocess.lexicon_path)(args.text)
         else:
             phones = args.text

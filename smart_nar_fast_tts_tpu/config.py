@@ -375,6 +375,10 @@ class Config:
                 n_bins=ve.get("n_bins", 256),
             ),
             multi_speaker=m.get("multi_speaker", False),
+            # not a reference key (the reference hardcodes single-speaker
+            # despite its multi_speaker flag); needed for real
+            # multi-speaker corpora
+            n_speakers=m.get("n_speakers", 1),
             max_seq_len=m.get("max_seq_len", 1000),
             vocoder_model=m.get("vocoder", {}).get("model", "HiFi-GAN"),
             vocoder_speaker=m.get("vocoder", {}).get("speaker", "LJSpeech"),

@@ -146,7 +146,12 @@ class Trainer:
             jnp.zeros((B, L), jnp.int32), jnp.full((B,), L, jnp.int32),
             mels=jnp.zeros((B, T, c.model.n_mel_channels)),
             mel_lens=jnp.full((B,), T, jnp.int32),
-            p_targets=jnp.zeros((B, T)), e_targets=jnp.zeros((B, T)))
+            p_targets=jnp.zeros((B, T)), e_targets=jnp.zeros((B, T)),
+            # speakers must be present at init when multi_speaker, or the
+            # speaker embedding is never created and the first training
+            # apply fails with ScopeParamNotFoundError
+            speakers=(jnp.zeros((B,), jnp.int32)
+                      if c.model.multi_speaker else None))
         return create_train_state(variables, self.tx)
 
     # -- loop -------------------------------------------------------------
