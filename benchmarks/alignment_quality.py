@@ -101,6 +101,7 @@ def main(argv=None) -> None:
 
     ext_err, prd_err, bnd_rmse, diag = [], [], [], []
     owner_hits, owner_near, gt_all = [], [], []
+    rule_err, rule_bnd = {}, {}
     n_phones_total = 0
     for ln in lines:
         name, speaker, text, _ = ln.split("|")
@@ -142,6 +143,29 @@ def main(argv=None) -> None:
             0, None)
         ext_err.append(np.abs(d_ext - gt_dur))
         prd_err.append(np.abs(d_prd - gt_dur))
+
+        # ---- extraction-rule A/B (VERDICT r4 Next #4) ----------------
+        # all rules recomputed from the same last-layer attention maps
+        full = np.asarray(out.alignments)[-1, 0][:, :T, :Lr]   # (H, T, L)
+
+        def _argmax_counts(a):                    # a: (T, L)
+            idx = np.argmax(a, axis=1)
+            return np.bincount(idx, minlength=Lr).astype(np.float32)
+
+        def _soft_counts(a):                      # expected-count rule
+            p = a / np.maximum(a.sum(axis=1, keepdims=True), 1e-9)
+            soft = p.sum(axis=0)
+            cum = np.round(np.cumsum(soft))
+            return np.diff(cum, prepend=0.0).astype(np.float32)
+
+        for rule, d in (
+                ("argmax_h0", _argmax_counts(full[0])),
+                ("argmax_hmean", _argmax_counts(full.mean(axis=0))),
+                ("soft_h0", _soft_counts(full[0])),
+                ("soft_hmean", _soft_counts(full.mean(axis=0)))):
+            rule_err.setdefault(rule, []).append(np.abs(d - gt_dur))
+            rule_bnd.setdefault(rule, []).append(np.sqrt(np.mean(
+                (np.cumsum(d) - np.cumsum(gt_dur)) ** 2)))
         bnd_rmse.append(np.sqrt(np.mean(
             (np.cumsum(d_ext) - np.cumsum(gt_dur)) ** 2)))
         n_phones_total += Lr
@@ -183,9 +207,18 @@ def main(argv=None) -> None:
         "diagonal_mass_pm1": round(float(np.mean(diag)), 4),
         "uniform_baseline_diagonal_mass": round(
             3.0 / (n_phones_total / len(lines)), 4),
+        "extraction_rules": {
+            rule: {
+                "mae_frames": round(
+                    float(np.concatenate(errs).mean()), 3),
+                "boundary_rmse_frames": round(
+                    float(np.mean(rule_bnd[rule])), 3),
+            } for rule, errs in rule_err.items()},
         "notes": "extracted = MelEncoder attention argmax counts "
                  "(training labels); predicted = duration predictor at "
-                 "inference; GT = TextGrid phone boundaries in frames",
+                 "inference; GT = TextGrid phone boundaries in frames; "
+                 "extraction_rules = same forward, alternative "
+                 "label-extraction rules (VERDICT r4 Next #4 A/B)",
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)

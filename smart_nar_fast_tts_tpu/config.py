@@ -175,6 +175,9 @@ class ModelConfig:
     gaussian_sigma: float = 10.0         # reference model/modules.py:175
     # Duration extraction from alignment attention (see ops/duration.py).
     # 'intended' = per-head-reduced 2-D argmax counting (sane semantics);
+    # 'soft' = expected-count extraction (row-normalized attention mass
+    # summed over frames, sum-preserving rounding) — the round-5 A/B
+    # winner on the alignment-quality harness;
     # 'buggy' = bit-compat with the reference's head-axis slicing quirk
     # (recovered bytecode, SURVEY.md §2.4.1).
     duration_extraction: str = "intended"
@@ -197,7 +200,7 @@ class ModelConfig:
 
     def __post_init__(self):
         assert self.upsampling in ("hard", "gaussian", "gaussian_banded")
-        assert self.duration_extraction in ("intended", "buggy")
+        assert self.duration_extraction in ("intended", "soft", "buggy")
         assert self.duration_head_reduce in ("first", "mean")
 
 
@@ -383,6 +386,10 @@ class Config:
             vocoder_model=m.get("vocoder", {}).get("model", "HiFi-GAN"),
             vocoder_speaker=m.get("vocoder", {}).get("speaker", "LJSpeech"),
             n_mel_channels=audio.n_mels,
+            # optional TPU-native keys (duration_extraction, upsampling,
+            # compute_dtype, ...) — absent section keeps reference YAMLs
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in m.get("tpu", {}).items()},
         )
         opt = t.get("optimizer", {})
         stp = t.get("step", {})
@@ -409,6 +416,10 @@ class Config:
                 val_step=stp.get("val_step", 100),
                 save_step=stp.get("save_step", 10000),
             ),
+            # optional TPU-native keys (no reference counterpart): an
+            # omitted ``tpu:`` section keeps reference YAMLs loading
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in t.get("tpu", {}).items()},
         )
         return cls(preprocess=pre, model=model, train=train)
 

@@ -48,6 +48,27 @@ def durations_from_attention(attn: jnp.ndarray, src_lens: jnp.ndarray,
         counts = jnp.sum(onehot & frame_valid[:, :, None], axis=1)
         return counts.astype(jnp.int32)
 
+    if mode == "soft":
+        # Expected-count extraction (VERDICT r4 Next #4): instead of hard
+        # frame ownership, each valid frame distributes its single vote
+        # over phonemes proportionally to its (valid-phoneme-renormalized)
+        # attention row: soft[i] = Σ_t p(i|t).  Rounded sum-preservingly
+        # via cumulative rounding — cum = cumsum(soft) is nondecreasing,
+        # so diff(round(cum)) is a nonnegative integer vector with the
+        # exact total Σ = olen (each row sums to 1).
+        if head_reduce == "mean":
+            a = jnp.mean(attn, axis=1)                  # (B, T, L)
+        else:
+            a = attn[:, 0]
+        a = jnp.where(text_valid[:, None, :], a, 0.0)
+        a = a / jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-9)
+        frame_valid = frame_pos < mel_lens[:, None]     # (B, T)
+        soft = jnp.sum(a * frame_valid[:, :, None], axis=1)   # (B, L)
+        cum = jnp.cumsum(soft, axis=-1)
+        r = jnp.round(cum)
+        counts = jnp.diff(r, axis=-1, prepend=0.0)
+        return counts.astype(jnp.int32)
+
     if mode == "buggy":
         # Literal reference math: slice [:olen] hits the HEAD axis (always
         # all heads since olen >= n_head), slice [:ilen] hits the FRAME

@@ -46,6 +46,32 @@ class TestDurationProperties:
         for b, sl in enumerate(np.asarray(src_lens)):
             assert np.all(d[b, sl:] == 0)
 
+    def test_soft_mode_sum_and_padding(self):
+        """Round-5 'soft' expected-count rule: exact frame-count total via
+        cumulative rounding, zeros on padded phonemes, nonnegative."""
+        attn = self._attn(seed=3)
+        src_lens = jnp.asarray([12, 7, 3])
+        mel_lens = jnp.asarray([40, 25, 9])
+        d = np.asarray(durations_from_attention(
+            attn, src_lens, mel_lens, mode="soft", head_reduce="mean"))
+        np.testing.assert_array_equal(d.sum(axis=1), np.asarray(mel_lens))
+        assert np.all(d >= 0)
+        for b, sl in enumerate(np.asarray(src_lens)):
+            assert np.all(d[b, sl:] == 0)
+
+    def test_soft_matches_numpy_oracle(self):
+        attn = self._attn(B=1, seed=4)
+        src_lens = jnp.asarray([9])
+        mel_lens = jnp.asarray([31])
+        d = np.asarray(durations_from_attention(
+            attn, src_lens, mel_lens, mode="soft",
+            head_reduce="mean"))[0, :9]
+        a = np.asarray(attn)[0].mean(0)[:31, :9]
+        p = a / a.sum(axis=1, keepdims=True)
+        soft = p.sum(axis=0)
+        want = np.diff(np.round(np.cumsum(soft)), prepend=0.0)
+        np.testing.assert_array_equal(d, want.astype(np.int32))
+
     def test_buggy_mode_counts_all_heads(self):
         # reference literal math: Σ counts ≈ n_head · ilen (SURVEY §2.4.1)
         attn = self._attn(B=1, H=2, T=40, L=12, seed=2)
