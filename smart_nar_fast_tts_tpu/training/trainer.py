@@ -56,20 +56,43 @@ class Trainer:
                 "(load stats.json via Config loading helpers)")
         if mesh is None:
             # the data axis must divide the per-host batch; drop to the
-            # largest divisor when batch < local device count (tiny debug
-            # configs), else use the configured mesh shape
+            # largest divisor when batch < available data-parallel slots
+            # (tiny debug configs).  Non-data axes (model/seq) keep their
+            # configured sizes — an SP config's seq axis must never be
+            # collapsed to fit a small batch.
             import math
             local_batch = (cfg.train.optimizer.batch_size
                            // jax.process_count())
             n_local = jax.local_device_count()
-            data_size = math.gcd(local_batch, n_local)
-            devices = jax.devices()[:data_size * jax.process_count()] \
-                if data_size < n_local else None
-            shape = ((-1,) + tuple(cfg.train.mesh_shape[1:])
-                     if devices is None else (data_size, 1))
+            tail = tuple(cfg.train.mesh_shape[1:])
+            tail_size = int(np.prod(tail)) if tail else 1
+            if n_local % tail_size:
+                raise ValueError(
+                    f"mesh_shape tail {tail} needs {tail_size} devices "
+                    f"per data slot but only {n_local} are local")
+            data_size = math.gcd(local_batch, n_local // tail_size)
+            n_used = data_size * tail_size
+            devices = (jax.devices()[:n_used * jax.process_count()]
+                       if n_used < n_local else None)
+            shape = ((-1,) + tail if devices is None
+                     else (data_size,) + tail)
             mesh = make_mesh(shape, cfg.train.mesh_axis_names,
                              devices=devices)
         self.mesh = mesh
+        # SP training wiring (VERDICT r4 Next #5): a model.yaml with
+        # tpu.sequence_parallel=true trains with the decoder time axis
+        # ring-sharded over cfg.model.sp_axis.  Hybrid DP×SP comes from a
+        # 2-D train.yaml mesh, e.g. tpu.mesh_shape [2, 4] with
+        # tpu.mesh_axis_names ["data", "seq"] and model tpu.sp_axis "seq";
+        # the same mesh then carries batch-DP and the attention ring.
+        self.sp_mesh = None
+        if cfg.model.sequence_parallel:
+            if cfg.model.sp_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"model.tpu.sp_axis={cfg.model.sp_axis!r} is not a "
+                    f"mesh axis {self.mesh.axis_names}; set train.tpu."
+                    "mesh_axis_names (e.g. ['data', 'seq']) to include it")
+            self.sp_mesh = self.mesh
         self.model = FastSpeech2Align(cfg.model, cfg.preprocess)
         self.loss = FastSpeech2Loss(cfg.preprocess,
                                     guided_sigma=cfg.model.guided_sigma)
@@ -78,9 +101,10 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.loss,
             grad_acc_steps=cfg.train.optimizer.grad_acc_step,
-            mesh=self.mesh)
+            mesh=self.mesh, sp_mesh=self.sp_mesh)
         self.eval_step = make_eval_step(self.model, self.loss,
-                                        mesh=self.mesh)
+                                        mesh=self.mesh,
+                                        sp_mesh=self.sp_mesh)
         self.multi_step = None
         K = cfg.train.steps_per_dispatch
         if K > 1:
@@ -95,7 +119,7 @@ class Trainer:
             self.multi_step = make_multi_step(
                 self.model, self.loss, num_steps=K,
                 grad_acc_steps=cfg.train.optimizer.grad_acc_step,
-                mesh=self.mesh)
+                mesh=self.mesh, sp_mesh=self.sp_mesh)
             # None on 1-device meshes: committed NamedShardings cost extra
             # per-dispatch bookkeeping there for zero layout benefit
             self._multi_sharding = None if _trivial_mesh(self.mesh) else \
@@ -111,7 +135,8 @@ class Trainer:
             return self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 texts, src_lens, mels=mels, mel_lens=mel_lens,
-                p_targets=pitch, e_targets=energy, deterministic=True)
+                p_targets=pitch, e_targets=energy, deterministic=True,
+                sp_mesh=self.sp_mesh)
         self._recon_fwd = jax.jit(_recon)
 
         self._vocoder = None
@@ -140,7 +165,12 @@ class Trainer:
         import jax.numpy as jnp
         L = c.train.text_buckets[0]
         T = c.train.mel_buckets[0]
-        B = 2                       # init shapes don't affect param shapes
+        # init shapes don't affect param shapes, but a hybrid DP×SP init
+        # runs through shard_map, whose batch dim must divide the data axis
+        B = 2
+        if self.sp_mesh is not None:
+            B = max(B, dict(self.mesh.shape).get(
+                c.train.mesh_axis_names[0], 1))
         variables = self.model.init(
             jax.random.PRNGKey(seed),
             jnp.zeros((B, L), jnp.int32), jnp.full((B,), L, jnp.int32),
@@ -151,7 +181,8 @@ class Trainer:
             # speaker embedding is never created and the first training
             # apply fails with ScopeParamNotFoundError
             speakers=(jnp.zeros((B,), jnp.int32)
-                      if c.model.multi_speaker else None))
+                      if c.model.multi_speaker else None),
+            sp_mesh=self.sp_mesh)
         return create_train_state(variables, self.tx)
 
     # -- loop -------------------------------------------------------------
@@ -279,11 +310,18 @@ class Trainer:
         if not writer.enabled:
             return
         import jax.numpy as jnp
+        # hybrid DP×SP shards the batch dim inside the ring's shard_map,
+        # so the slice must stay divisible by the data axis; only item 0
+        # is plotted either way
+        nb = 1
+        if self.sp_mesh is not None:
+            nb = min(len(batch.texts), dict(self.mesh.shape).get(
+                self.cfg.train.mesh_axis_names[0], 1))
         out = self._recon_fwd(
             state.params, state.batch_stats,
-            jnp.asarray(batch.texts[:1]), jnp.asarray(batch.src_lens[:1]),
-            jnp.asarray(batch.mels[:1]), jnp.asarray(batch.mel_lens[:1]),
-            jnp.asarray(batch.pitch[:1]), jnp.asarray(batch.energy[:1]))
+            jnp.asarray(batch.texts[:nb]), jnp.asarray(batch.src_lens[:nb]),
+            jnp.asarray(batch.mels[:nb]), jnp.asarray(batch.mel_lens[:nb]),
+            jnp.asarray(batch.pitch[:nb]), jnp.asarray(batch.energy[:nb]))
         n = int(batch.mel_lens[0])
         mel_pred = np.asarray(out.postnet_mel[0, :n]).T
         mel_true = np.asarray(batch.mels[0, :n]).T

@@ -122,7 +122,7 @@ def load_hifigan(ckpt_path: str, config_path: str | None = None
 def load_vocoder(ckpt_path: str, config_path: str | None = None):
     """Family-aware vocoder loader: dispatches on the ``family`` key the
     ``train_vocoder`` CLI writes into the sibling ``config.json``
-    ("hifigan" | "vocos"; absent → HiFi-GAN, matching the reference's
+    ("hifigan" | "vocos" | "melgan"; absent → HiFi-GAN, matching the reference's
     checkpoint layout, ref utils/model.py:53-58).  Returns
     ``(generator, variables)`` for any generator with the
     ``apply(vars, mel) -> wav`` surface."""
@@ -136,15 +136,20 @@ def load_vocoder(ckpt_path: str, config_path: str | None = None):
         family = cfg_dict.pop("family", "hifigan")
     if family == "hifigan":
         return load_hifigan(ckpt_path, config_path)
-    if family != "vocos":
+    if family == "vocos":
+        from .vocos import VocosConfig as cfg_cls
+        from .vocos import VocosGenerator as gen_cls
+    elif family == "melgan":
+        from .melgan import MelGANConfig as cfg_cls
+        from .melgan import MelGANGenerator as gen_cls
+    else:
         raise ValueError(f"unknown vocoder family {family!r}")
     import jax
     import jax.numpy as jnp
     from flax import serialization
 
-    from .vocos import VocosConfig, VocosGenerator
-    config = VocosConfig.from_dict(cfg_dict) if cfg_dict else VocosConfig()
-    gen = VocosGenerator(config)
+    config = cfg_cls.from_dict(cfg_dict) if cfg_dict else cfg_cls()
+    gen = gen_cls(config)
     target = gen.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 8, config.n_mels)))["params"]
     with open(ckpt_path, "rb") as f:

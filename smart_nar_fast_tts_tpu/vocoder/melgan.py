@@ -44,6 +44,16 @@ class MelGANConfig:
             out *= r
         return out
 
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MelGANConfig":
+        if "ratios" in d:
+            d = {**d, "ratios": tuple(d["ratios"])}
+        return cls(**d)
+
 
 class ReflectConv1d(nn.Module):
     """Reflection-padded conv (torch ``ReflectionPad1d`` + ``Conv1d`` pair,

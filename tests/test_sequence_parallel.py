@@ -210,7 +210,9 @@ class TestModelSequenceParallel:
                                        atol=2e-5 * max(scale, 1.0),
                                        rtol=2e-3)
 
-    def test_sp_train_step_rejects_double_mesh(self):
+    def test_sp_train_step_rejects_two_different_meshes(self):
+        """Hybrid DP×SP must share ONE mesh; two distinct non-trivial
+        meshes would fight over the same devices."""
         import pytest
 
         from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
@@ -220,9 +222,84 @@ class TestModelSequenceParallel:
         cfg_sp, pre = self._cfg(True)
         model = FastSpeech2Align(cfg_sp, pre)
         loss = FastSpeech2Loss(pre)
-        mesh = make_mesh((8,), ("data",))
-        with pytest.raises(ValueError, match="not both"):
-            make_train_step(model, loss, mesh=mesh, sp_mesh=mesh)
+        mesh_a = make_mesh((8,), ("data",))
+        mesh_b = make_mesh((2, 4), ("data", "seq"))
+        with pytest.raises(ValueError, match="different meshes"):
+            make_train_step(model, loss, mesh=mesh_a, sp_mesh=mesh_b)
+
+    def test_hybrid_dp_sp_train_step_matches_dense(self):
+        """VERDICT r4 Next #5: hybrid DP×SP — ONE 2-D (data=2, seq=4) mesh
+        carries batch data-parallelism AND ring-sharded decoder attention
+        at flagship hidden size (256) and long context (T=2048); losses
+        and pre-optimizer grads must match the dense single-device step."""
+        from smart_nar_fast_tts_tpu.config import (
+            FeatureStats, ModelConfig, OptimizerConfig, PreprocessConfig,
+            TransformerConfig)
+        from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
+                                                   FastSpeech2Loss)
+        from smart_nar_fast_tts_tpu.training import (Batch,
+                                                     create_train_state,
+                                                     make_optimizer,
+                                                     make_train_step)
+
+        def cfg_of(sp):
+            return ModelConfig(
+                transformer=TransformerConfig(
+                    encoder_layer=1, decoder_layer=2, encoder_head=2,
+                    decoder_head=2, encoder_hidden=256, decoder_hidden=256,
+                    conv_filter_size=256),
+                max_seq_len=2048, sequence_parallel=sp, sp_axis="seq")
+
+        pre = PreprocessConfig(stats=FeatureStats())
+        model_sp = FastSpeech2Align(cfg_of(True), pre)
+        model_dense = FastSpeech2Align(cfg_of(False), pre)
+        loss = FastSpeech2Loss(pre)
+        mesh = make_mesh((2, 4), ("data", "seq"))
+
+        rng = np.random.RandomState(11)
+        B, L, T = 2, 12, 2048
+        batch = Batch(
+            texts=jnp.asarray(rng.randint(2, 300, (B, L)), jnp.int32),
+            src_lens=jnp.asarray([L, L - 3], jnp.int32),
+            mels=jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
+            mel_lens=jnp.asarray([T, T - 301], jnp.int32),
+            pitch=jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32),
+            energy=jnp.asarray(rng.uniform(0, 2, (B, T)), jnp.float32))
+        variables = model_dense.init(
+            jax.random.PRNGKey(0), batch.texts, batch.src_lens,
+            mels=batch.mels, mel_lens=batch.mel_lens,
+            p_targets=batch.pitch, e_targets=batch.energy)
+        tx = make_optimizer(OptimizerConfig(warm_up_step=5), 256)
+
+        step_dense = make_train_step(model_dense, loss)
+        # the SAME mesh as both mesh= and sp_mesh= selects the hybrid path
+        step_hybrid = make_train_step(model_sp, loss, mesh=mesh,
+                                      sp_mesh=mesh)
+        key = jax.random.PRNGKey(3)
+        sd = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        sh = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        sd, losses_d = step_dense(sd, batch, key)
+        sh, losses_h = step_hybrid(sh, batch, key)
+        np.testing.assert_allclose(float(losses_h.total),
+                                   float(losses_d.total),
+                                   atol=1e-4, rtol=1e-4)
+
+        from smart_nar_fast_tts_tpu.training.step import _forward_loss
+
+        def grads(model, sp):
+            g, _ = jax.jit(jax.grad(lambda p: _forward_loss(
+                model, loss, p, variables.get("batch_stats", {}), batch,
+                key, True, sp), has_aux=True))(variables["params"])
+            return g
+
+        gd = grads(model_dense, None)
+        gh = grads(model_sp, mesh)
+        scale = max(float(jnp.max(jnp.abs(x)))
+                    for x in jax.tree.leaves(gd))
+        for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gd)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5 * max(scale, 1.0),
+                                       rtol=2e-3)
 
     def test_sp_without_mesh_raises(self):
         from smart_nar_fast_tts_tpu.models import FastSpeech2Align
