@@ -88,6 +88,42 @@ def main() -> None:
              "seconds": round(s, 6), "achieved_tflops": round(tf, 1)})
         print(json.dumps(results["conv"][-1]), flush=True)
 
+    # ---- conv over-peak investigation (VERDICT r4 Weak #5a) ----------
+    # round-4's committed f32_default conv read 205.2 TFLOP/s against a
+    # 197 machine peak.  Two candidate explanations: (i) slope bias at
+    # short chains (k_hi=33), (ii) hand-FLOP overcount vs what XLA runs.
+    # Measure the same conv at several (k_lo, k_hi) pairs and record the
+    # compiler's own cost_analysis flops next to the hand count.
+    def conv_fn():
+        x = jnp.asarray(rng.normal(size=(8, 1000, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(9, 256, 1024)) * 0.02,
+                        jnp.float32)
+        f = jax.jit(lambda x, w: lax.conv_general_dilated(
+            x, w, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32))
+        return f, x, w
+
+    f, x, w = conv_fn()
+    cost = f.lower(x, w).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    xla_flops = float(cost.get("flops", float("nan")))
+    hand_flops = 2 * 8 * 1000 * 9 * 256 * 1024
+    conv_check = {"hand_flops": hand_flops, "xla_cost_flops": xla_flops,
+                  "slopes": []}
+    for k_lo, k_hi in ((1, 33), (1, 129), (33, 129), (129, 513)):
+        def step(c):
+            return bm.collapse(f(bm.taint(x, c), w), c)
+
+        m = bm.seconds_per_iteration(step, k_lo=k_lo, k_hi=k_hi)
+        conv_check["slopes"].append(
+            {"k_lo": k_lo, "k_hi": k_hi,
+             "seconds": round(m.seconds, 8),
+             "tflops_hand": round(hand_flops / m.seconds / 1e12, 1),
+             "tflops_xla": round(xla_flops / m.seconds / 1e12, 1)})
+        print(json.dumps(conv_check["slopes"][-1]), flush=True)
+    results["conv_overpeak_check"] = conv_check
+
     # ---- per-stage acoustic breakdown under the two policies ----
     from smart_nar_fast_tts_tpu.config import (FeatureStats, ModelConfig,
                                                PreprocessConfig)

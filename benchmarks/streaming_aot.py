@@ -75,9 +75,12 @@ def main(argv=None) -> None:
 
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="smart_tts_aot_")
     t0 = time.perf_counter()
+    # VERDICT r4 Next #7: one export covers a short utterance AND a
+    # ≥30 s long-form one (4096-frame capacity) — TTFA should stay ~flat
+    # with utterance length while full-synthesis wall grows
     export_serving_artifacts(
-        out_dir, model, variables, text_buckets=(64,),
-        mel_buckets=(512, 1000), batch_size=1, max_mel_len=1000,
+        out_dir, model, variables, text_buckets=(64, 256),
+        mel_buckets=(512, 1000, 4096), batch_size=1, max_mel_len=4096,
         generator=voc, gen_variables=voc_vars, stream_chunk=args.chunk,
         provenance={"params": os.path.relpath(PARAMS_NPZ),
                     "vocoder": voc_src})
@@ -86,18 +89,6 @@ def main(argv=None) -> None:
     tts = ExportedTTS(out_dir)
     inv = np.asarray(meta["phone_ids"], np.int32)
     rng = np.random.default_rng(0)
-    ids = rng.choice(inv, size=48).astype(np.int32)
-
-    # warm both paths (first call per program pays backend compile of the
-    # deserialized StableHLO)
-    wav_full = tts.synthesize(ids)
-    list(tts.stream(ids))
-
-    # parity on the exported programs
-    chunks = list(tts.stream(ids))
-    wav_stream = np.concatenate(chunks)
-    assert wav_stream.shape == wav_full.shape
-    np.testing.assert_allclose(wav_stream, wav_full, atol=1e-5)
 
     def best_of(f, n=5):
         ts = []
@@ -107,10 +98,56 @@ def main(argv=None) -> None:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    ttfa_s = best_of(lambda: next(iter(tts.stream(ids))))
-    tla_s = best_of(lambda: tts.synthesize(ids))
-    t_frames = int(tts.acoustic(ids)["mel_lens"][0])
-    audio_s = t_frames * tts.hop / 22050.0
+    sr = 22050
+    chunk_audio_s = args.chunk * tts.hop / sr
+    scenarios = {}
+    for label, n_phones in (("short", 48), ("long", 224)):
+        ids = rng.choice(inv, size=n_phones).astype(np.int32)
+
+        # warm both paths (first call per program pays backend compile of
+        # the deserialized StableHLO)
+        wav_full = tts.synthesize(ids)
+        list(tts.stream(ids))
+
+        # parity on the exported programs
+        chunks = list(tts.stream(ids))
+        wav_stream = np.concatenate(chunks)
+        assert wav_stream.shape == wav_full.shape
+        np.testing.assert_allclose(wav_stream, wav_full, atol=1e-5)
+
+        # chunk cadence: inter-chunk production times over one pass —
+        # sustained real-time streaming needs every gap < chunk audio
+        gaps, t_prev = [], time.perf_counter()
+        for _ in tts.stream(ids):
+            now = time.perf_counter()
+            gaps.append(now - t_prev)
+            t_prev = now
+
+        ttfa_s = best_of(lambda: next(iter(tts.stream(ids))))
+        tla_s = best_of(lambda: tts.synthesize(ids))
+        t_frames = int(tts.acoustic(ids)["mel_lens"][0])
+        audio_s = t_frames * tts.hop / sr
+        scenarios[label] = {
+            "n_phones": n_phones,
+            "utterance_frames": t_frames,
+            "utterance_audio_s": round(audio_s, 2),
+            "n_chunks": len(chunks),
+            "ttfa_wall_ms": round(ttfa_s * 1e3, 1),
+            "full_synthesize_wall_ms": round(tla_s * 1e3, 1),
+            "ttfa_speedup_vs_full": round(tla_s / ttfa_s, 2),
+            "chunk_gap_ms": {
+                "first": round(gaps[0] * 1e3, 1),
+                "median_steady": round(float(np.median(gaps[1:])) * 1e3, 1)
+                if len(gaps) > 1 else None,
+                "max_steady": round(float(np.max(gaps[1:])) * 1e3, 1)
+                if len(gaps) > 1 else None},
+            "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
+            "realtime_sustainable": bool(
+                len(gaps) > 1
+                and float(np.max(gaps[1:])) < chunk_audio_s),
+            "stream_equals_synthesize": True,
+        }
+        print(json.dumps({label: scenarios[label]}), flush=True)
 
     report = {
         "backend": jax.default_backend(),
@@ -118,15 +155,12 @@ def main(argv=None) -> None:
         "export_seconds": round(export_s, 1),
         "params": f"{os.path.relpath(PARAMS_NPZ)}@{meta['steps']} "
                   f"+ vocoder:{voc_src}",
-        "utterance_frames": t_frames,
-        "utterance_audio_s": round(audio_s, 2),
         "chunk_frames": tts.stream_chunk,
         "halo_frames": tts.stream_halo,
-        "n_chunks": len(chunks),
-        "ttfa_wall_ms": round(ttfa_s * 1e3, 1),
-        "full_synthesize_wall_ms": round(tla_s * 1e3, 1),
-        "ttfa_speedup_vs_full": round(tla_s / ttfa_s, 2),
-        "stream_equals_synthesize": True,
+        "scenarios": scenarios,
+        "ttfa_flat_long_vs_short": round(
+            scenarios["long"]["ttfa_wall_ms"]
+            / scenarios["short"]["ttfa_wall_ms"], 2),
         "note": "wall-clock through the artifact loader includes "
                 "dispatch/transport (remote-attached chips add ~2 RTTs); "
                 "compute-only TTFA is bench.py extra.streaming",

@@ -174,14 +174,19 @@ class ModelConfig:
     upsampling: str = "gaussian"
     gaussian_sigma: float = 10.0         # reference model/modules.py:175
     # Duration extraction from alignment attention (see ops/duration.py).
-    # 'intended' = per-head-reduced 2-D argmax counting (sane semantics);
-    # 'soft' = expected-count extraction (row-normalized attention mass
-    # summed over frames, sum-preserving rounding) — the round-5 A/B
-    # winner on the alignment-quality harness;
+    # 'soft' + 'mean' (DEFAULT) = expected-count extraction (row-normalized
+    # attention mass summed over frames, sum-preserving rounding) with
+    # head-mean reduction — the round-5 A/B winner on the
+    # alignment-quality harness: extracted-duration MAE 4.46 -> 3.19
+    # frames, boundary RMSE 6.91 -> 3.97 on the committed flagship
+    # (benchmarks/results/alignment_quality.json `extraction_rules`);
+    # 'intended' + 'first' = per-head-reduced 2-D argmax counting (the
+    # reference's sane semantics; selects the fused Pallas alignment
+    # kernel, which implements exactly argmax/head-0 in-pass);
     # 'buggy' = bit-compat with the reference's head-axis slicing quirk
     # (recovered bytecode, SURVEY.md §2.4.1).
-    duration_extraction: str = "intended"
-    duration_head_reduce: str = "first"  # 'first' | 'mean' over heads
+    duration_extraction: str = "soft"
+    duration_head_reduce: str = "mean"   # 'first' | 'mean' over heads
     # guided-attention σ (reference model/loss.py:19); consumed both by the
     # loss and by the fused alignment-attention kernel's in-kernel reduction
     guided_sigma: float = 0.2
