@@ -263,7 +263,11 @@ class TestFusedAlignmentTraining:
         from smart_nar_fast_tts_tpu.models import (FastSpeech2Align,
                                                    FastSpeech2Loss)
 
-        cfg = ModelConfig()
+        # the fused kernel implements exactly the 'intended'/head-0
+        # extraction semantics; the repo default is now 'soft'/'mean'
+        # (round-5 A/B winner), so pin the mode this test targets
+        cfg = ModelConfig(duration_extraction="intended",
+                          duration_head_reduce="first")
         pre = PreprocessConfig(stats=FeatureStats(
             pitch_min=71.0, pitch_max=799.8, pitch_mean=207.4,
             pitch_std=46.5, energy_min=0.018, energy_max=314.9,
