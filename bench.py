@@ -10,13 +10,13 @@ Serving is modeled the way this framework actually serves — *bucketed*:
            fed the batch's bucket-cap slice — so the generator never
            burns cycles on frames past the batch's real maximum length.
 
-The default family is **Vocos** (round 4), decided on data, not vibes:
-``benchmarks/results/vocoder_quality.json`` (held-out resynthesis) has
-Vocos@30k at mel-L1 0.165 vs HiFi-GAN@23k at 0.256, at ~5x lower RTF
-(iSTFT head: ~24x fewer FLOPs/frame than V1's conv-transpose stack).
-HiFi-GAN V1 remains fully supported and is measured every run as
-``extra.hifigan`` (it still wins F0-RMSE 8.7 vs 14.4 Hz on that table —
-pick per deployment; the serving surface exports either family).
+The default family is decided on data, not vibes: the run reads
+``benchmarks/results/vocoder_quality.json`` (held-out resynthesis on the
+scaled 8-speaker corpus, 96 val utts) and serves whichever family its
+weighted decision score picks (round 5: HiFi-GAN — Vocos wins mel-L1 by
+a hair but loses MR-STFT 1.74 vs 1.22 and F0-RMSE 74 vs 37 Hz).  The
+other family remains fully supported and is measured every run under
+``extra.<family>``; the serving surface exports either.
 
 e2e time = slope(A) + slope(B); the host-side bucket pick between the two
 dispatches is a max() over an (8,) int array and is pipelined away in a
@@ -233,6 +233,26 @@ def main():
     model, variables, voc, voc_vars, params_src = build("float32")
     vgen, vvars, vocos_src = build_vocos("float32")
 
+    # headline family = the vocoder_quality.json decision (round 5: the
+    # weighted rule — mel_l1/0.25 + mrstft/1.0 + f0_rmse/20 — picks the
+    # family; on the scaled 8-speaker corpus HiFi-GAN wins on F0/MR-STFT
+    # where round 4's 4-utt table had chosen Vocos on mel-L1 alone)
+    best_family, vq_note = "vocos", "no vocoder_quality.json"
+    vq_path = os.path.join(os.path.dirname(FLAGSHIP_NPZ),
+                           "vocoder_quality.json")
+    if os.path.exists(vq_path):
+        with open(vq_path) as f:
+            _vq = json.load(f)
+        best_family = _vq.get("best_by_decision_score", best_family)
+        fams = _vq.get("families", {})
+        vq_note = ", ".join(
+            f"{k}: score {v.get('decision_score')}"
+            for k, v in fams.items())
+    _families = {"hifigan": (voc, voc_vars), "vocos": (vgen, vvars)}
+    head_gen, head_vars = _families.get(best_family, (vgen, vvars))
+    alt_name = "vocos" if best_family == "hifigan" else "hifigan"
+    alt_gen, alt_vars = _families[alt_name]
+
     # audio-seconds denominator + the bucket (one real forward to host).
     # Jitted: an eager flax apply on a remote-attached chip dispatches
     # every op individually over the tunnel — minutes of RTT for one
@@ -254,11 +274,11 @@ def main():
                         deterministic=True)
         return bm.collapse(o.postnet_mel, c)
 
-    # -- stage B: bucketed DEFAULT vocoder (Vocos — see module docstring
-    # for the data behind the default) --------------------------------------
+    # -- stage B: bucketed DEFAULT vocoder (family decided by
+    # vocoder_quality.json's weighted score — see above) --------------------
     def voc_step(c):
         m = bm.taint(mel_f32, c)
-        wav = vgen.apply(vvars, m)
+        wav = head_gen.apply(head_vars, m)
         return bm.collapse(wav, c)
 
     # -- round-1 comparison: one fused program at full capacity -------------
@@ -266,7 +286,7 @@ def main():
         t = bm.taint(texts, c)
         o = model.apply(variables, t, src_lens, max_mel_len=T_CAP,
                         deterministic=True)
-        wav = vgen.apply(vvars, o.postnet_mel)
+        wav = head_gen.apply(head_vars, o.postnet_mel)
         return bm.collapse(wav, c)
 
     m_mel = bm.seconds_per_iteration(mel_step, k_hi=17)
@@ -275,10 +295,9 @@ def main():
     e2e = m_mel.seconds + m_voc.seconds
     rtf = e2e / audio_seconds
     extra = {
-        "vocoder_family": "vocos (default by vocoder_quality.json: "
-                          "held-out mel_l1 0.165 vs hifigan 0.256 at ~5x "
-                          "lower RTF; hifigan stays selectable and is "
-                          "measured below)",
+        "vocoder_family": f"{best_family} (default by vocoder_quality"
+                          f".json decision scores — {vq_note}; the other "
+                          "family stays selectable and is measured below)",
         "mel_only_rtf": round(m_mel.seconds / audio_seconds, 6),
         "vocoder_rtf": round(m_voc.seconds / audio_seconds, 6),
         "mel_frames_per_sec_per_chip": round(frames / m_mel.seconds, 1),
@@ -290,22 +309,22 @@ def main():
                   "bucketed two-stage serving",
     }
 
-    # -- HiFi-GAN V1 serving variant (the reference's family) ---------------
+    # -- the non-default family as a serving variant ------------------------
     if time_left() > 180:
-        def hifi_step(c):
+        def alt_step(c):
             m = bm.taint(mel_f32, c)
-            wav = voc.apply(voc_vars, m)
+            wav = alt_gen.apply(alt_vars, m)
             return bm.collapse(wav, c)
 
-        m_hifi = bm.seconds_per_iteration(hifi_step, k_hi=9)
-        e2e_h = m_mel.seconds + m_hifi.seconds
-        extra["hifigan"] = {
+        m_alt = bm.seconds_per_iteration(alt_step, k_hi=9)
+        e2e_h = m_mel.seconds + m_alt.seconds
+        extra[alt_name] = {
             "e2e_rtf": round(e2e_h / audio_seconds, 6),
             "vs_baseline": round(TARGET_RTF * audio_seconds / e2e_h, 3),
-            "vocoder_rtf": round(m_hifi.seconds / audio_seconds, 6),
+            "vocoder_rtf": round(m_alt.seconds / audio_seconds, 6),
         }
     else:
-        extra["hifigan"] = "skipped (deadline)"
+        extra[alt_name] = "skipped (deadline)"
 
     if time_left() > 120:
         m_fused = bm.seconds_per_iteration(fused_step, k_hi=9)
@@ -334,7 +353,7 @@ def main():
 
         def voc_long_step(c):
             m = bm.taint(mel_l, c)
-            return bm.collapse(vgen.apply(vvars, m), c)
+            return bm.collapse(head_gen.apply(head_vars, m), c)
 
         m_mel_l = bm.seconds_per_iteration(mel_long_step, k_hi=9)
         m_voc_l = bm.seconds_per_iteration(voc_long_step, k_hi=9)
@@ -357,7 +376,7 @@ def main():
     if time_left() > 180:
         from smart_nar_fast_tts_tpu.vocoder.streaming import receptive_halo
         STREAM_CHUNK = 64
-        halo = receptive_halo(vgen.config)
+        halo = receptive_halo(head_gen.config)
         window = STREAM_CHUNK + 2 * halo
         mel_win = mel_f32[:1, :window]
 
@@ -369,7 +388,7 @@ def main():
 
         def voc_win_step(c):
             m = bm.taint(mel_win, c)
-            wav = vgen.apply(vvars, m)
+            wav = head_gen.apply(head_vars, m)
             return bm.collapse(wav, c)
 
         # autoscaled: the Vocos window at B=1 is tens of microseconds —
@@ -423,6 +442,7 @@ def main():
         m_voc16 = bm.seconds_per_iteration(voc16_step, k_hi=17)
         e2e16 = m_mel16.seconds + m_voc16.seconds
         extra["bf16"] = {
+            "family": "vocos",
             "e2e_rtf": round(e2e16 / audio_seconds, 6),
             "vs_baseline": round(TARGET_RTF * audio_seconds / e2e16, 3),
             "waveform_rel_l2_vs_f32": round(rel, 5),

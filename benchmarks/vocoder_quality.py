@@ -85,19 +85,39 @@ def _load_family(name, jnp):
     return gen, variables, meta
 
 
-def _mrstft(wav: np.ndarray, wav_gt: np.ndarray, jnp, sr: int) -> float:
+def _np_stft_mag(wav: np.ndarray, cfg) -> np.ndarray:
+    """Host-side numpy mirror of ``audio.stft.stft_magnitude`` (same
+    reflect pad, window, rfft) — per-utterance analysis must not pay a
+    device round-trip per op on remote-attached chips."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    pad = n_fft // 2
+    y = np.pad(wav.astype(np.float64), (pad, pad), mode="reflect")
+    num_frames = 1 + (len(y) - n_fft) // hop
+    idx = (np.arange(num_frames)[:, None] * hop
+           + np.arange(n_fft)[None, :])
+    frames = y[idx] * np.asarray(cfg.window)
+    return np.abs(np.fft.rfft(frames, axis=-1)).T     # (n_bins, F)
+
+
+def _np_log_mel(wav: np.ndarray, cfg) -> np.ndarray:
+    """numpy mirror of ``audio.stft.mel_spectrogram`` → (F, n_mels)."""
+    mag = _np_stft_mag(wav, cfg)
+    mel = np.asarray(cfg.mel_basis) @ mag
+    return np.log(np.clip(mel, cfg.compression_clip, None)).T
+
+
+def _mrstft(wav: np.ndarray, wav_gt: np.ndarray, sr: int) -> float:
     """Multi-resolution STFT distance: mean over three resolutions of
     (spectral convergence + log-magnitude L1) — Parallel WaveGAN's
-    auxiliary loss, computed with the repo's own framed-matmul STFT."""
-    from smart_nar_fast_tts_tpu.audio.stft import (MelSpectrogramConfig,
-                                                   stft_magnitude)
+    auxiliary loss."""
+    from smart_nar_fast_tts_tpu.audio.stft import MelSpectrogramConfig
     total = 0.0
     resolutions = ((512, 128, 512), (1024, 256, 1024), (2048, 512, 2048))
     for n_fft, hop, win in resolutions:
         cfg = MelSpectrogramConfig(sampling_rate=sr, n_fft=n_fft,
                                    hop_length=hop, win_length=win)
-        m_v = np.asarray(stft_magnitude(jnp.asarray(wav)[None], cfg))[0]
-        m_g = np.asarray(stft_magnitude(jnp.asarray(wav_gt)[None], cfg))[0]
+        m_v = _np_stft_mag(wav, cfg)
+        m_g = _np_stft_mag(wav_gt, cfg)
         sc = (np.linalg.norm(m_g - m_v)
               / (np.linalg.norm(m_g) + 1e-9))
         logl1 = float(np.mean(np.abs(np.log(m_g + 1e-5)
@@ -205,6 +225,7 @@ def main(argv=None) -> None:
         # the trim discards anyway
         T_BUCKET = max(it[1].shape[0] for it in items)
         mel_l1s, f0_rmses, voic_agree, wave_l2s = [], [], [], []
+        mrstfts = []
         for name, mel, wav_gt in items:
             melp = np.zeros((T_BUCKET, mel.shape[1]), np.float32)
             melp[: mel.shape[0]] = mel
@@ -214,10 +235,10 @@ def main(argv=None) -> None:
             n = min(wav.shape[0], wav_gt.shape[0])
             wav, wg = wav[:n], wav_gt[:n]
 
-            remel, _ = mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-            remel = np.asarray(remel)[0].T[: mel.shape[0]]
+            remel = _np_log_mel(wav, mel_cfg)[: mel.shape[0]]
             t = remel.shape[0]
             mel_l1s.append(float(np.mean(np.abs(remel - mel[:t]))))
+            mrstfts.append(_mrstft(wav, wg, sr))
 
             f0_v = estimate_f0(wav, sr, hop)
             f0_g = estimate_f0(wg, sr, hop)
@@ -237,25 +258,36 @@ def main(argv=None) -> None:
             "params": f"{family}: "
                       f"{meta.get('steps', '?')} steps"
                       + (f" ({meta['note']})" if meta.get("note") else ""),
+            "corpus": meta.get("corpus", "?"),
             "n_utts": len(items),
             "mel_l1": round(float(np.mean(mel_l1s)), 4),
+            "mrstft": round(float(np.mean(mrstfts)), 4),
             "f0_rmse_hz": round(float(np.mean(f0_rmses)), 2)
             if f0_rmses else None,
             "voicing_agreement": round(float(np.mean(voic_agree)), 4)
             if voic_agree else None,
             "wave_rel_l2": round(float(np.mean(wave_l2s)), 4),
         }
+        table[family]["decision_score"] = round(
+            decision_score(table[family]), 4)
         print(json.dumps({family: table[family]}), flush=True)
 
     if table:
-        best = min(table, key=lambda k: table[k]["mel_l1"])
-        report = {"split": args.split, "held_out": args.split == "val",
-                  "families": table, "best_mel_l1": best,
+        best = min(table, key=lambda k: table[k]["decision_score"])
+        report = {"split": args.split, "held_out": True,
+                  "corpus": args.corpus,
+                  "families": table,
+                  "decision_weights": DECISION_WEIGHTS,
+                  "decision_rule": "minimize sum(metric / weight): each "
+                                   "denominator is a just-noticeable "
+                                   "scale, so no single metric can "
+                                   "silently outvote the others",
+                  "best_by_decision_score": best,
                   "decision_note": "serving default should pair this "
                                    "table with bench.py per-family RTFs"}
         with open(OUT, "w") as f:
             json.dump(report, f, indent=1)
-        print(json.dumps({"best_mel_l1": best}))
+        print(json.dumps({"best_by_decision_score": best}))
     else:
         print(json.dumps({"error": "no committed vocoder params found"}))
 
