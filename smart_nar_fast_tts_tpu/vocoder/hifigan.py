@@ -149,8 +149,12 @@ def _scatter_blocks(entries, span, m_min, cin, cout, gin, gout, kernel):
         mask[m - m_min, a, b] = True
     # gather (span, gin, gout, cin, cout), zero the unoccupied blocks,
     # then interleave slots with channels: (m, a·cin+c, b·cout+c')
+    # jnp.asarray(kernel): params loaded from npz arrive as NUMPY arrays,
+    # and numpy fancy-indexing converts the index via __array__ — which
+    # raises on the constant-hoisted tracer a lax.while_loop body makes
+    # of jnp.asarray(idx); jax-side indexing handles both
     w = jnp.where(jnp.asarray(mask)[..., None, None],
-                  kernel[jnp.asarray(idx)], 0)
+                  jnp.asarray(kernel)[jnp.asarray(idx)], 0)
     w = jnp.transpose(w, (0, 1, 3, 2, 4))
     return w.reshape(span, gin * cin, gout * cout)
 
