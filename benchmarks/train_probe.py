@@ -229,14 +229,23 @@ def main() -> None:
         s_b = measure(f"{name}/fwd+bwd", bwd, flops_b)
         if args.compile_only:
             continue
-        row = {"program": f"{name}/bwd_derived",
-               "ms": round((s_b - s_f) * 1e3, 4),
-               "flops": flops_b - flops_f,
-               "achieved_tflops": round(
-                   (flops_b - flops_f) / max(s_b - s_f, 1e-9) / 1e12, 1),
-               "mxu_peak_fraction": round(
-                   (flops_b - flops_f) / max(s_b - s_f, 1e-9) / 1e12
-                   / PEAK_TFLOPS, 3)}
+        if s_b <= s_f:
+            # fwd and fwd+bwd both below the timing-jitter floor (only
+            # happens for trivially small programs like the bare loss):
+            # a subtraction would fabricate a negative time (VERDICT r3
+            # Weak #2 class of error) — report the non-measurement
+            row = {"program": f"{name}/bwd_derived", "ms": None,
+                   "note": "fwd+bwd measured <= fwd; both below the "
+                           "jitter floor, derived bwd not reportable"}
+        else:
+            row = {"program": f"{name}/bwd_derived",
+                   "ms": round((s_b - s_f) * 1e3, 4),
+                   "flops": flops_b - flops_f,
+                   "achieved_tflops": round(
+                       (flops_b - flops_f) / (s_b - s_f) / 1e12, 1),
+                   "mxu_peak_fraction": round(
+                       (flops_b - flops_f) / (s_b - s_f) / 1e12
+                       / PEAK_TFLOPS, 3)}
         results.append(row)
         print(json.dumps(row), flush=True)
 
